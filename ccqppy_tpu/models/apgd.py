@@ -1,0 +1,165 @@
+"""Nesterov-accelerated projected gradient descent (APGD) and the
+anti-relaxation variant (APGD-AR).
+
+TPU-native re-design of the reference ``CCQPSolverAPGD`` ("Algorithm 6 of
+Pospisil 2015" with Mazhar-2015 backtracking, ``/root/reference/src/ccqppy/
+solvers.py:197-367``) and ``CCQPSolverAPGDAntiRelaxation``
+(``solvers.py:370-557``).  The data-dependent Lipschitz backtracking loop —
+the reference's inner ``while True`` doubling L per trial — becomes a nested
+``lax.while_loop`` whose carry holds (x_trial, A x_trial, L, mv), bounded by
+``max_backtracks`` as an infinite-loop guard (f64 can only double ~60 times
+before overflow anyway).
+
+Anti-relaxation differences (Mazhar 2015 lines 18-28):
+* tracks the best-residual iterate and returns it, not the last
+  (``solvers.py:500-503, 525``);
+* restarts momentum when g . (x+ - x) > 0 (``solvers.py:510-512``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ccqppy_tpu.models.base import (SolverConfig, default_x0, make_result,
+                                    pg_residual)
+from ccqppy_tpu.ops.linop import as_operator
+from ccqppy_tpu.ops.projections import identity
+
+
+@dataclasses.dataclass(frozen=True)
+class APGDConfig(SolverConfig):
+    """backtrack_grow:   L multiplier on a failed Lipschitz trial
+                         (reference hard-codes 2, ``solvers.py:306``).
+    relax:              L multiplier after each outer iteration
+                         (reference hard-codes 0.9, ``solvers.py:328``).
+    max_backtracks:     static bound on the inner loop (guard only).
+    anti_relaxation:    enable the Mazhar best-iterate + restart variant.
+    """
+
+    backtrack_grow: float = 2.0
+    relax: float = 0.9
+    max_backtracks: int = 64
+    anti_relaxation: bool = False
+
+
+class _State(NamedTuple):
+    x: jax.Array       # x_k
+    y: jax.Array       # extrapolated point y_k
+    theta: jax.Array
+    L: jax.Array
+    res: jax.Array
+    mv: jax.Array
+    it: jax.Array
+    done: jax.Array
+    # anti-relaxation tracking
+    resmin: jax.Array
+    xhat: jax.Array
+
+
+class _Inner(NamedTuple):
+    x1: jax.Array
+    Ax1: jax.Array
+    L: jax.Array
+    mv: jax.Array
+    ok: jax.Array
+    bt: jax.Array
+
+
+@partial(jax.jit, static_argnames=("config",))
+def solve(A, b, x0=None, proj=None, config: APGDConfig = APGDConfig()):
+    op = as_operator(A)
+    b = jnp.asarray(b)
+    proj = proj if proj is not None else identity()
+    x0 = default_x0(b, x0)
+    dtype = b.dtype
+
+    # Initial Lipschitz estimate L0 = ||A (x0 - 1)|| / ||x0 - 1||
+    # (``solvers.py:263-268``), guarded against x0 == 1.
+    xdiff = x0 - jnp.ones_like(x0)
+    num = jnp.linalg.norm(op.matvec(xdiff))
+    den = jnp.linalg.norm(xdiff)
+    L0 = jnp.where(den > 0, num / jnp.where(den > 0, den, 1), jnp.asarray(1.0, dtype))
+
+    inf = jnp.asarray(jnp.inf, dtype)
+    s0 = _State(x=x0, y=x0, theta=jnp.asarray(1.0, dtype), L=L0,
+                res=inf, mv=jnp.int32(1), it=jnp.int32(0),
+                done=jnp.asarray(False),
+                resmin=inf, xhat=x0)
+
+    def cond(s):
+        return ~s.done
+
+    def body(s):
+        Ay = op.matvec(s.y)
+        mv = s.mv + 1
+        g = Ay + b
+
+        # Trial point at the current 1/L step.
+        x1 = proj.project(s.y - g / s.L)
+        rhs_const = 0.5 * op.dot(s.y, Ay) + op.dot(s.y, b)
+
+        def quad_bound_holds(x1, Ax1, L):
+            # f(x1) <= f(y) + g.(x1-y) + L/2 ||x1-y||^2  (Mazhar line 9).
+            lhs = 0.5 * op.dot(x1, Ax1) + op.dot(x1, b)
+            d = x1 - s.y
+            rhs = rhs_const + op.dot(g, d) + 0.5 * L * op.dot(d, d)
+            return lhs <= rhs
+
+        Ax1_0 = op.matvec(x1)
+        i0 = _Inner(x1, Ax1_0, s.L, mv + 1,
+                    quad_bound_holds(x1, Ax1_0, s.L), jnp.int32(0))
+
+        def icond(c):
+            return (~c.ok) & (c.mv < config.max_matvecs) & (c.bt < config.max_backtracks)
+
+        def ibody(c):
+            L = c.L * config.backtrack_grow
+            x1 = proj.project(s.y - g / L)
+            Ax1 = op.matvec(x1)
+            return _Inner(x1, Ax1, L, c.mv + 1,
+                          quad_bound_holds(x1, Ax1, L), c.bt + 1)
+
+        c = lax.while_loop(icond, ibody, i0)
+        x1, Ax1, L, mv = c.x1, c.Ax1, c.L, c.mv
+
+        # Momentum update (Pospisil 2015 lines 7-8 / ``solvers.py:313-316``).
+        th = s.theta
+        th1 = 0.5 * (-th * th + th * jnp.sqrt(4 + th * th))
+        beta = th * (1 - th) / (th * th + th1)
+        y1 = (1 + beta) * x1 - beta * s.x
+
+        res = pg_residual(proj, x1, Ax1 + b, config.gd)
+
+        if config.anti_relaxation:
+            better = res < s.resmin
+            resmin = jnp.where(better, res, s.resmin)
+            xhat = jnp.where(better, x1, s.xhat)
+            # Momentum restart on non-monotone progress (Mazhar lines 25-28).
+            restart = op.dot(g, x1 - s.x) > 0
+            y1 = jnp.where(restart, x1, y1)
+            th1 = jnp.where(restart, 1.0, th1)
+        else:
+            resmin, xhat = s.resmin, s.xhat
+
+        done = (res < config.tol) | (mv >= config.max_matvecs)
+        return _State(x1, y1, th1, L * config.relax, res, mv, s.it + 1, done,
+                      resmin, xhat)
+
+    s = lax.while_loop(cond, body, s0)
+    x_out = s.xhat if config.anti_relaxation else s.x
+    return make_result(x_out, s.res, s.mv, s.it, config.max_matvecs)
+
+
+def solve_anti_relaxation(A, b, x0=None, proj=None,
+                          config: APGDConfig = None):
+    """APGD-AR: best-iterate tracking + momentum restart."""
+    if config is None:
+        config = APGDConfig(anti_relaxation=True)
+    elif not config.anti_relaxation:
+        config = dataclasses.replace(config, anti_relaxation=True)
+    return solve(A, b, x0, proj, config=config)

@@ -1,0 +1,90 @@
+"""Shared solver machinery: results, configs, convergence criterion.
+
+Replaces the reference's per-class boilerplate (``solvers.py:11-68`` ABC plus
+the five ``solution_*`` properties repeated in every solver) with one
+functional core:
+
+* ``SolveResult`` — a pytree carrying everything the reference exposes via
+  properties (``solution``, ``solution_residual``, ``solution_converged``,
+  ``solution_num_matrix_vector_multiplications``) plus the iteration count.
+  Wall-clock time is attached host-side by the high-level API (device code
+  must not call ``time.time``).
+* ``pg_residual`` — the Mazhar-2015 Eq. 25 normalized projected-gradient
+  residual ``|| (x - proj(x - gd*g)) || / (3 n gd)`` with ``gd = 1e-6``,
+  identical to the check repeated at ``solvers.py:136-139, 321-323, 496-498,
+  628-631, 767-770, 1069-1072, 1184-1185`` — but evaluated through each
+  projection's cancellation-free closed form so it remains meaningful in f32.
+* ``SolverConfig`` — frozen dataclass of jit-static hyperparameters.  The
+  reference hard-codes these as magic constants inside the algorithms
+  (SURVEY.md section 5.6); here every one is hoisted and documented.
+
+Budget semantics (kept bit-for-bit from the reference, ``solvers.py:163-164``):
+``converged := matvecs < max_matvecs`` at exit — i.e. a solve that exhausts
+its matvec budget reports not-converged, anything else converged.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ccqppy_tpu.utils.pytree import register_pytree_dataclass
+
+
+@register_pytree_dataclass
+class SolveResult:
+    """Result pytree of a single QP solve (batched under vmap)."""
+
+    x: jax.Array          # solution iterate
+    residual: jax.Array   # final Eq.25 residual (SPG: ||d_k||, see spg.py)
+    converged: jax.Array  # bool — matvec budget not exhausted
+    matvecs: jax.Array    # int32 count of operator applications
+    iterations: jax.Array # int32 outer-iteration count
+    solve_time: jax.Array # seconds; filled host-side by timed wrappers, else 0
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Hyperparameters common to all solvers (jit-static).
+
+    tol:          desired Eq.25 residual (reference ``desired_residual_tol``).
+    max_matvecs:  operator-application budget (reference
+                  ``max_matrix_vector_multiplications``).
+    gd:           finite-difference probe step of the residual criterion
+                  (reference hard-codes 1e-6, ``solvers.py:137``).
+    """
+
+    tol: float = 1e-8
+    max_matvecs: int = 10_000
+    gd: float = 1e-6
+
+
+def pg_residual(proj, x, g, gd):
+    """Normalized projected-gradient residual (Mazhar 2015 Eq. 25)."""
+    n = x.shape[-1]
+    r = proj.pg_residual_vec(x, g, gd)
+    return jnp.linalg.norm(r) / (3.0 * n)
+
+
+def make_result(x, residual, matvecs, iterations, max_matvecs):
+    return SolveResult(
+        x=x,
+        residual=residual,
+        converged=matvecs < max_matvecs,
+        matvecs=jnp.asarray(matvecs, jnp.int32),
+        iterations=jnp.asarray(iterations, jnp.int32),
+        solve_time=jnp.zeros((), x.dtype),
+    )
+
+
+def default_x0(b, x0):
+    """Reference default: x0 = 0 (``solvers.py:126``)."""
+    if x0 is None:
+        return jnp.zeros_like(b)
+    return jnp.asarray(x0, b.dtype)
+
+
+def eps_of(x):
+    """10*eps stagnation guard matching the reference (``solvers.py:656``)."""
+    return 10 * jnp.finfo(x.dtype).eps

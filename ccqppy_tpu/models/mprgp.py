@@ -1,0 +1,206 @@
+"""MPRGP — Modified Proportioning with Reduced Gradient Projections — and
+its Barzilai-Borwein variant (MPRGP-BB).
+
+TPU-native re-design of the reference ``CCQPSolverMPRGP`` (Dostal, "Optimal
+Quadratic Programming Algorithms" Alg. 5.8; ``/root/reference/src/ccqppy/
+solvers.py:1002-1224``) and of ``CCQPSolverMPRGPBB``, which exists only in
+the reference's pdoc snapshot (``docs/src/ccqppy/solvers.html`` — see
+SURVEY.md section 2.4).
+
+Key re-designs (each documented where it lands):
+
+* **Exact feasible step.**  The reference finds the max feasible step along
+  the CG direction by recursively halving a trial step in a data-dependent
+  Python loop (``solvers.py:1112-1118``, factor 0.8 in the docs variant).
+  We use the projection algebra's closed-form ``max_feasible_step`` — exact,
+  branch-free, and O(n) — for every supported set.
+* **Correct active sets.**  The disk reference detects the active set with
+  ``isclose(x, proj(x))`` (``solvers.py:1081,1093``), which is true for EVERY
+  coordinate of a feasible point, so its proportioning test degenerates (the
+  chopped gradient is always zero).  We use the per-operator
+  ``free_chopped`` split (at-bound detection), i.e. the semantics of
+  Dostal's algorithm and of the docs MPRGP-BB's ``projected_gradient``.
+* **Recurrence-based matvec economy.**  The reference recomputes
+  ``A @ (x_new - x)`` for each BB step and refreshes ``g = A x + b`` at the
+  loop top (3-4 matvecs per iteration).  Because ``g`` is affine in ``x``,
+  ``A dx == dg`` is available from the gradient recurrence for free; our CG
+  and proportioning iterations cost ONE matvec, expansion two.  Matvec
+  counts to tolerance are therefore roughly 3x lower than the reference on
+  identical trajectories — this is the framework's headline metric, won
+  algorithmically.
+* Three-way branch (CG / expansion / proportioning) via ``lax.cond`` with a
+  unified state shape; under ``vmap`` XLA converts the branches to masked
+  selects, which is exactly the right batched execution model.
+
+Gradient convention: ``g = A x + b`` throughout (the docs MPRGP-BB flips to
+``g = A x - b``; we keep the package-wide convention — SURVEY.md section 2.5).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ccqppy_tpu.models.base import (SolverConfig, default_x0, eps_of,
+                                    make_result, pg_residual)
+from ccqppy_tpu.ops.linop import as_operator
+from ccqppy_tpu.ops.projections import identity
+
+
+@dataclasses.dataclass(frozen=True)
+class MPRGPConfig(SolverConfig):
+    """gamma: proportioning threshold Gamma — the chopped/free balance test
+    is ``||beta||^2 < Gamma^2 ||psi||^2`` (disk reference: implicit 1,
+    ``solvers.py:1098``; docs MPRGP-BB exposes it, default 1)."""
+
+    gamma: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class MPRGPBBConfig(MPRGPConfig):
+    pass
+
+
+class _State(NamedTuple):
+    x: jax.Array
+    g: jax.Array
+    p: jax.Array
+    alpha_bb: jax.Array
+    x_prev: jax.Array   # previous iterate for the alternating BB step
+    g_prev: jax.Array
+    res: jax.Array
+    mv: jax.Array
+    it: jax.Array
+    done: jax.Array
+
+
+def _solve(A, b, x0, proj, config, bb_variant: bool):
+    op = as_operator(A)
+    b = jnp.asarray(b)
+    proj = proj if proj is not None else identity()
+    x0 = default_x0(b, x0)
+    dtype = b.dtype
+    tiny = eps_of(b)
+    gamma2 = jnp.asarray(config.gamma**2, dtype)
+
+    x_init = proj.project(x0)
+    g_init = op.matvec(x_init) + b
+    res0 = pg_residual(proj, x_init, g_init, config.gd)
+
+    if bb_variant:
+        # Fixed expansion step alpha_bar = 2 / ||A||_inf (docs MPRGPBB).
+        alpha_bar = 2.0 / op.inf_norm()
+        alpha_bb0 = jnp.asarray(0.0, dtype)   # sentinel: seed on first use
+        mv0 = jnp.int32(1)
+    else:
+        # Disk reference seeds alpha_bb = g.g / g.Ag up front
+        # (``solvers.py:1077``, one counted matvec).
+        alpha_bar = None
+        alpha_bb0 = op.dot(g_init, g_init) / op.dot(g_init, op.matvec(g_init))
+        mv0 = jnp.int32(2)
+
+    psi0, _ = proj.free_chopped(x_init, g_init)
+    s0 = _State(x=x_init, g=g_init, p=psi0, alpha_bb=alpha_bb0,
+                x_prev=x_init, g_prev=g_init, res=res0, mv=mv0,
+                it=jnp.int32(0), done=res0 < config.tol)
+
+    def cond(s):
+        return ~s.done
+
+    def body(s):
+        psi, beta_ch = proj.free_chopped(s.x, s.g)
+        proportional = op.dot(beta_ch, beta_ch) < gamma2 * op.dot(psi, psi)
+
+        def cg_or_expand(s):
+            Ap = op.matvec(s.p)
+            mv = s.mv + 1
+            pAp = op.dot(s.p, Ap) + tiny
+            # Disk reference: alpha_cg = psi.p / p.Ap (``solvers.py:1106``);
+            # Dostal writes g.p / p.Ap — identical on the face where p lives.
+            alpha_cg = op.dot(psi, s.p) / pAp
+            alpha_f = proj.max_feasible_step(s.x, s.p)
+
+            def cg(_):
+                x1 = s.x - alpha_cg * s.p
+                g1 = s.g - alpha_cg * Ap
+                psi1, _ = proj.free_chopped(x1, g1)
+                bcg = op.dot(psi1, Ap) / pAp
+                p1 = psi1 - bcg * s.p
+                # BB step from the recurrence: dx = -a p, dg = -a Ap.
+                a_bb = op.dot(s.p, s.p) / pAp
+                return x1, g1, p1, a_bb, mv
+
+            def expand(_):
+                # Half-step to the boundary, then a projected step.  The
+                # disk reference uses a BB-sized second leg
+                # (``solvers.py:1140-1148``); the docs variant a fixed
+                # 2/||A||_inf leg.  dx = -alpha_f p => A dx = -alpha_f Ap.
+                xh = s.x - alpha_f * s.p
+                gh = s.g - alpha_f * Ap
+                if bb_variant:
+                    psih, _ = proj.free_chopped(xh, gh)
+                    x1 = proj.project(xh - alpha_bar * psih)
+                else:
+                    a = op.dot(s.p, s.p) / pAp   # == dx.dx / dx.dg
+                    x1 = proj.project(xh - a * gh)
+                g1 = op.matvec(x1) + b
+                psi1, _ = proj.free_chopped(x1, g1)
+                dx = x1 - s.x
+                dg = g1 - s.g
+                a_bb = op.dot(dx, dx) / (op.dot(dx, dg) + tiny)
+                return x1, g1, psi1, a_bb, mv + 1
+
+            return lax.cond(alpha_cg <= alpha_f, cg, expand, None)
+
+        def proportioning(s):
+            # Step along the gradient with a BB step size.  Disk reference
+            # steps along the FULL gradient (``solvers.py:1167``); its BB
+            # size is recomputed from iterate diffs, seeded at init.  The
+            # docs variant seeds lazily from g.g/g.Ag — we fold both into
+            # the alternating-BB recurrence (A dx == dg, no extra matvec).
+            if bb_variant:
+                dx = s.x - s.x_prev
+                dg = s.g - s.g_prev
+                seed_needed = s.alpha_bb == 0
+                a_seed = op.dot(s.g, s.g) / (op.dot(s.g, op.matvec(s.g)) + tiny)
+                a_hist = op.dot(dx, dx) / (op.dot(dx, dg) + tiny)
+                a_bb = jnp.where(seed_needed, a_seed, a_hist)
+                mv = s.mv + jnp.where(seed_needed, 1, 0).astype(jnp.int32)
+            else:
+                a_bb = s.alpha_bb
+                mv = s.mv
+            x1 = proj.project(s.x - a_bb * s.g)
+            g1 = op.matvec(x1) + b
+            mv = mv + 1
+            psi1, _ = proj.free_chopped(x1, g1)
+            dx = x1 - s.x
+            dg = g1 - s.g
+            a_next = op.dot(dx, dx) / (op.dot(dx, dg) + tiny)
+            return x1, g1, psi1, a_next, mv
+
+        x1, g1, p1, a_bb, mv = lax.cond(proportional, cg_or_expand,
+                                        proportioning, s)
+        res = pg_residual(proj, x1, g1, config.gd)
+        done = (res < config.tol) | (mv >= config.max_matvecs)
+        return _State(x1, g1, p1, a_bb, s.x, s.g, res, mv, s.it + 1, done)
+
+    s = lax.while_loop(cond, body, s0)
+    return make_result(s.x, s.res, s.mv, s.it, config.max_matvecs)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def solve(A, b, x0=None, proj=None, config: MPRGPConfig = MPRGPConfig()):
+    """MPRGP (Dostal Alg. 5.8, disk-reference lineage, corrected semantics)."""
+    return _solve(A, b, x0, proj, config, bb_variant=False)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def solve_bb(A, b, x0=None, proj=None,
+             config: MPRGPBBConfig = MPRGPBBConfig()):
+    """MPRGP-BB (docs-snapshot lineage: fixed 2/||A||_inf expansion step,
+    alternating-BB proportioning, Gamma-weighted proportioning test)."""
+    return _solve(A, b, x0, proj, config, bb_variant=True)

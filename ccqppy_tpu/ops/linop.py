@@ -1,0 +1,134 @@
+"""Abstract linear operators for the QP Hessian ``A``.
+
+The reference passes ``A`` as a dense numpy array and calls ``A.dot(x)`` in
+every solver hot loop (e.g. ``/root/reference/src/ccqppy/solvers.py:938``).
+Here ``A`` is abstracted behind a small operator protocol so the *same* solver
+code serves:
+
+* the 3x3 README problem (``DenseOperator``),
+* batched Wishart ensembles (``DenseOperator`` under ``vmap``),
+* block-sparse contact-mechanics Hessians (``BlockSparseOperator``, ELL
+  layout, MXU-batched block products),
+* a single huge QP row-sharded over a TPU mesh (``ShardedDenseOperator``
+  inside ``shard_map`` — matvec via all-gather + local GEMM, dot products via
+  ``psum`` partial reductions).
+
+Operators also own the *inner product* (``dot``) so distributed solvers get
+collective-reduced dot products without touching solver code.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ccqppy_tpu.utils.pytree import register_pytree_dataclass
+
+
+class LinearOperator:
+    """Protocol: symmetric positive (semi)definite linear operator."""
+
+    def matvec(self, x):
+        raise NotImplementedError
+
+    def dot(self, u, v):
+        """Inner product consistent with the operator's data distribution."""
+        return jnp.vdot(u, v)
+
+    def norm(self, u):
+        return jnp.sqrt(self.dot(u, u))
+
+    def inf_norm(self):
+        """||A||_inf — used for MPRGP-BB's fixed expansion step 2/||A||_inf
+        (docs solvers.html MPRGPBB: ``alpha_bar = 2/np.linalg.norm(A, np.inf)``)."""
+        raise NotImplementedError
+
+
+@register_pytree_dataclass
+class DenseOperator(LinearOperator):
+    """Dense symmetric matrix.  matvec lowers to a single XLA GEMV (MXU).
+
+    ``A`` may carry a leading batch axis under ``vmap``; all methods are
+    written batch-free and rely on vmap for batching.
+    """
+
+    A: jax.Array
+
+    def matvec(self, x):
+        return jnp.dot(self.A, x, preferred_element_type=x.dtype)
+
+    def inf_norm(self):
+        return jnp.max(jnp.sum(jnp.abs(self.A), axis=-1))
+
+
+@register_pytree_dataclass(meta_fields=("n",))
+class BlockSparseOperator(LinearOperator):
+    """Block-sparse (BSR/ELL hybrid) symmetric operator.
+
+    Static ELL layout: every block-row holds exactly ``k_max`` dense
+    ``bs x bs`` blocks (padded with zero blocks / self-pointing columns), so
+    the matvec is a fully static gather + batched small GEMM that XLA maps to
+    the MXU.  Shapes:
+
+        blocks:   (n_block_rows, k_max, bs, bs)
+        cols:     (n_block_rows, k_max)  int32 block-column ids
+        n:        logical dimension (n_block_rows * bs)
+
+    Build from scipy-style BSR via ``from_bsr``.
+    """
+
+    blocks: jax.Array
+    cols: jax.Array
+    n: int
+
+    @staticmethod
+    def from_dense_blocks(blocks, cols):
+        nbr, kmax, bs, _ = blocks.shape
+        return BlockSparseOperator(blocks, cols.astype(jnp.int32), int(nbr * bs))
+
+    def matvec(self, x):
+        nbr, kmax, bs, _ = self.blocks.shape
+        xb = x.reshape(nbr, bs)
+        gathered = xb[self.cols]                      # (nbr, kmax, bs)
+        # (nbr, kmax, bs, bs) @ (nbr, kmax, bs) -> (nbr, kmax, bs)
+        prod = jnp.einsum("rkij,rkj->rki", self.blocks, gathered,
+                          preferred_element_type=x.dtype)
+        return jnp.sum(prod, axis=1).reshape(self.n)
+
+    def inf_norm(self):
+        nbr, kmax, bs, _ = self.blocks.shape
+        rowsum = jnp.sum(jnp.abs(self.blocks), axis=(1, 3))  # (nbr, bs)
+        return jnp.max(rowsum)
+
+
+@register_pytree_dataclass(meta_fields=("axis",))
+class ShardedDenseOperator(LinearOperator):
+    """Row-block-sharded dense operator for use inside ``shard_map``.
+
+    Each shard holds the local row block ``A_local: (n_local, n)`` of A and
+    the solver carries the *sharded* iterate ``x_local: (n_local,)``.  The
+    matvec all-gathers x along ``axis`` (ICI collective) and computes the
+    local GEMV; dot products psum partial reductions.  This is the TPU-native
+    replacement for the reference's (nonexistent) distributed path — see
+    SURVEY.md section 2.8.
+    """
+
+    A_local: jax.Array
+    axis: str
+
+    def matvec(self, x_local):
+        x_full = lax.all_gather(x_local, self.axis, tiled=True)
+        return jnp.dot(self.A_local, x_full, preferred_element_type=x_local.dtype)
+
+    def dot(self, u, v):
+        return lax.psum(jnp.vdot(u, v), self.axis)
+
+    def inf_norm(self):
+        return lax.pmax(jnp.max(jnp.sum(jnp.abs(self.A_local), axis=-1)), self.axis)
+
+
+def as_operator(A) -> LinearOperator:
+    """Wrap a raw array as a DenseOperator; pass operators through."""
+    if isinstance(A, LinearOperator):
+        return A
+    return DenseOperator(jnp.asarray(A))

@@ -1,0 +1,587 @@
+"""Projection-operator algebra for convex feasible sets, TPU-native.
+
+This is the JAX re-design of the reference's "solution spaces" layer
+(``/root/reference/src/ccqppy/solution_spaces.py``).  Differences by design:
+
+* Every operator is a frozen **pytree dataclass** of pure, shape-polymorphic
+  functions: no embedded dimension, no Python loops, no per-coordinate
+  dispatch.  Operators ``vmap`` over batches of points *and* over batches of
+  their own parameters (bounds, radii, cone aspect ratios).
+* ``free_chopped`` implements the mathematically correct MPRGP free/chopped
+  gradient split.  The reference's box variant has an operator-precedence bug
+  (``solution_spaces.py:340-341``) and its ``normal_vector`` returns zeros for
+  strictly-infeasible points (``solution_spaces.py:152-154``); we implement the
+  intended semantics, documented per-operator.
+* ``max_feasible_step`` gives the exact largest step ``a`` with ``x - a*p``
+  feasible, in closed form for every set.  The reference instead halves a trial
+  step in a data-dependent Python loop (``solvers.py:1112-1118``) — a pattern
+  that is both algorithmically loose and hostile to XLA.
+* ``pg_residual_vec`` evaluates ``(x - project(x - gd*g)) / gd`` — the
+  Mazhar-2015 Eq. 25 residual probe used by every reference solver
+  (``solvers.py:136-139``) — in a cancellation-free closed form for separable
+  sets, so the probe stays exact in float32 on TPU (the literal formula with
+  ``gd = 1e-6`` underflows to zero at f32 precision).
+* The Lorentz-cone projection is the *correct* second-order-cone projection;
+  the reference's is known-bugged (``solution_spaces.py:439`` carries a
+  ``TODO: this projection op is bugged``).
+
+Set convention: we project onto a closed convex set Omega; solvers minimize
+``f(x) = 1/2 x^T A x + b^T x`` over Omega with gradient ``g = A x + b``
+(matching the reference's executable convention — see SURVEY.md section 2.5).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ccqppy_tpu.utils.pytree import register_pytree_dataclass
+
+# Active-set detection tolerances, mirroring numpy.isclose defaults used by the
+# reference (``solvers.py:1081,1093``).  |x - bound| <= ATOL + RTOL * |bound|.
+ACTIVE_RTOL = 1e-5
+ACTIVE_ATOL = 1e-8
+
+
+def _near(x, ref):
+    """Elementwise ``isclose(x, ref)`` with the reference's tolerances."""
+    return jnp.abs(x - ref) <= ACTIVE_ATOL + ACTIVE_RTOL * jnp.abs(ref)
+
+
+def _safe_div(num, den, fallback):
+    """num / den where den != 0, else fallback (no NaN generation)."""
+    den_ok = den != 0
+    safe = jnp.where(den_ok, den, 1)
+    return jnp.where(den_ok, num / safe, fallback)
+
+
+def _min_positive_root(a, b, c, dtype):
+    """Smallest t >= 0 with a t^2 + b t + c < 0 just beyond it, else +inf.
+
+    Assumes q(0) = c >= 0 (the start point is feasible).  Used for the exact
+    max-feasible-step of quadratically-bounded sets (ball, Lorentz cone).
+    """
+    inf = jnp.asarray(jnp.inf, dtype)
+    # Linear case a == 0: q crosses zero at -c/b when b < 0.
+    lin = jnp.where(b < 0, _safe_div(-c, b, inf), inf)
+
+    disc = b * b - 4 * a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0))
+    # Roots ordered r1 <= r2 for a > 0 (q negative strictly between them);
+    # for a < 0, q is negative outside [r2', r1'] — the relevant crossing is
+    # the larger root of the upward-flipped parabola.
+    r1 = _safe_div(-b - sq, 2 * a, inf)
+    r2 = _safe_div(-b + sq, 2 * a, inf)
+    pos_up = jnp.where(disc <= 0, inf, jnp.where(r1 >= 0, r1, inf))
+    # a < 0: c >= 0 implies disc >= 0; q(t) < 0 for t > max-root.
+    pos_down = jnp.maximum(jnp.maximum(r1, r2), 0)
+    quad = jnp.where(a > 0, pos_up, pos_down)
+    return jnp.where(a == 0, lin, quad)
+
+
+class Projection:
+    """Interface for projections onto closed convex sets.
+
+    Mirrors the reference ``ProjOpBase`` surface
+    (``solution_spaces.py:9-74``) as jittable pure functions:
+
+    * ``project(x)``           — Euclidean projection onto the set.
+    * ``normal(x)``            — outward (sub)normal at the active boundary,
+                                 zero for interior points (per-face entries
+                                 for separable sets, reference-style).
+    * ``free_chopped(x, g)``   — MPRGP free / chopped gradient split.
+    * ``max_feasible_step(x, p)`` — largest a >= 0 with x - a p feasible.
+    * ``pg_residual_vec(x, g, gd)`` — stable (x - project(x - gd g)) / gd.
+    * ``contains(x)``          — feasibility predicate (scalar bool).
+
+    ``__call__`` aliases ``project`` so operators remain drop-in callables
+    like the reference's (``solution_spaces.py:186``).
+    """
+
+    def __call__(self, x):
+        return self.project(x)
+
+    # --- default implementations -------------------------------------------
+    def project(self, x):
+        raise NotImplementedError
+
+    def normal(self, x):
+        return jnp.zeros_like(x)
+
+    def free_chopped(self, x, g):
+        """Default split via the outward normal.
+
+        free    = g on the inactive part (tangential part on smooth boundary)
+        chopped = max(0, n.g) n  — the KKT-violating outward component.
+        """
+        n = self.normal(x)
+        ng = jnp.vdot(n, g)
+        nn = jnp.vdot(n, n)
+        active = nn > 0
+        coef = _safe_div(ng, nn, jnp.zeros_like(ng))
+        chopped = jnp.where(active & (ng > 0), coef, 0) * n
+        free = jnp.where(active, g - _safe_div(ng, nn, jnp.zeros_like(ng)) * n, g)
+        return free, chopped
+
+    def max_feasible_step(self, x, p):
+        raise NotImplementedError
+
+    def pg_residual_vec(self, x, g, gd):
+        """(x - project(x - gd*g)) / gd, literal fallback.
+
+        Rearranged as ``g + (u - project(u)) / gd`` with ``u = x - gd*g`` which
+        is exact when the projection is the identity near x and loses at most
+        the projection's own rounding otherwise.  Separable sets override this
+        with a fully closed form.
+        """
+        u = x - gd * g
+        return g + (u - self.project(u)) / gd
+
+    def contains(self, x):
+        return jnp.linalg.norm(x - self.project(x)) <= ACTIVE_ATOL + ACTIVE_RTOL * jnp.linalg.norm(x)
+
+
+@register_pytree_dataclass
+class IdentityProj(Projection):
+    """All of R^n.  Reference: ``IdentityProjOp`` (solution_spaces.py:77-125).
+
+    The reference's disk ``projected_gradient`` is a bodyless stub returning
+    None (solution_spaces.py:100-109); the docs snapshot returns
+    ``(g, zeros)`` — we implement the latter (docs solution_spaces.html:1028).
+    """
+
+    def project(self, x):
+        return x
+
+    def free_chopped(self, x, g):
+        return g, jnp.zeros_like(g)
+
+    def max_feasible_step(self, x, p):
+        return jnp.asarray(jnp.inf, x.dtype)
+
+    def pg_residual_vec(self, x, g, gd):
+        return g
+
+    def contains(self, x):
+        return jnp.asarray(True)
+
+
+@register_pytree_dataclass
+class LowerBoundProj(Projection):
+    """{x : x >= lb}.  Reference: ``LowerBoundProjOp`` (solution_spaces.py:128-201)."""
+
+    lb: jax.Array
+
+    def project(self, x):
+        return jnp.maximum(x, self.lb)
+
+    def is_active(self, x):
+        return _near(x, self.lb)
+
+    def normal(self, x):
+        # Reference quirk: returns zeros when x is strictly infeasible
+        # (solution_spaces.py:152-154, inverted isclose).  We return the
+        # outward normal of the projected point instead — the intended
+        # semantics per its own docstring.
+        return jnp.where(self.is_active(self.project(x)), -1.0, 0.0).astype(x.dtype)
+
+    def free_chopped(self, x, g):
+        active = self.is_active(x)
+        free = jnp.where(active, 0, g)
+        chopped = jnp.where(active, jnp.minimum(g, 0), 0)
+        return free, chopped
+
+    def max_feasible_step(self, x, p):
+        # x - a p >= lb  =>  for p_i > 0: a <= (x_i - lb_i) / p_i.
+        inf = jnp.asarray(jnp.inf, x.dtype)
+        gap = jnp.maximum(x - self.lb, 0)
+        ratio = jnp.where(p > 0, _safe_div(gap, p, inf), inf)
+        return jnp.min(ratio)
+
+    def pg_residual_vec(self, x, g, gd):
+        # Exact: (x - max(x - gd g, lb)) / gd == min(g, (x - lb)/gd).
+        return jnp.minimum(g, (x - self.lb) / gd)
+
+    def contains(self, x):
+        return jnp.all(x >= self.lb - (ACTIVE_ATOL + ACTIVE_RTOL * jnp.abs(self.lb)))
+
+
+@register_pytree_dataclass
+class UpperBoundProj(Projection):
+    """{x : x <= ub}.  Reference: ``UpperBoundProjOp`` (solution_spaces.py:204-277)."""
+
+    ub: jax.Array
+
+    def project(self, x):
+        return jnp.minimum(x, self.ub)
+
+    def is_active(self, x):
+        return _near(x, self.ub)
+
+    def normal(self, x):
+        return jnp.where(self.is_active(self.project(x)), 1.0, 0.0).astype(x.dtype)
+
+    def free_chopped(self, x, g):
+        active = self.is_active(x)
+        free = jnp.where(active, 0, g)
+        chopped = jnp.where(active, jnp.maximum(g, 0), 0)
+        return free, chopped
+
+    def max_feasible_step(self, x, p):
+        inf = jnp.asarray(jnp.inf, x.dtype)
+        gap = jnp.maximum(self.ub - x, 0)
+        ratio = jnp.where(p < 0, _safe_div(gap, -p, inf), inf)
+        return jnp.min(ratio)
+
+    def pg_residual_vec(self, x, g, gd):
+        return jnp.maximum(g, (x - self.ub) / gd)
+
+    def contains(self, x):
+        return jnp.all(x <= self.ub + (ACTIVE_ATOL + ACTIVE_RTOL * jnp.abs(self.ub)))
+
+
+@register_pytree_dataclass
+class BoxProj(Projection):
+    """{x : lb <= x <= ub}.  Reference: ``BoxProjOp`` (solution_spaces.py:280-366).
+
+    The reference's ``projected_gradient`` mis-parenthesizes its lower-bound
+    active test (solution_spaces.py:340-341); we implement the intended
+    semantics: a coordinate is active iff at (or beyond) either bound.
+    """
+
+    lb: jax.Array
+    ub: jax.Array
+
+    def project(self, x):
+        return jnp.clip(x, self.lb, self.ub)
+
+    def active_lower(self, x):
+        return _near(x, self.lb) | (x < self.lb)
+
+    def active_upper(self, x):
+        return _near(x, self.ub) | (x > self.ub)
+
+    def normal(self, x):
+        xp = self.project(x)
+        n = jnp.where(_near(xp, self.ub), 1.0, 0.0) - jnp.where(_near(xp, self.lb), 1.0, 0.0)
+        return n.astype(x.dtype)
+
+    def free_chopped(self, x, g):
+        lo = self.active_lower(x)
+        hi = self.active_upper(x)
+        active = lo | hi
+        free = jnp.where(active, 0, g)
+        chopped = jnp.where(lo, jnp.minimum(g, 0), 0) + jnp.where(hi, jnp.maximum(g, 0), 0)
+        return free, chopped
+
+    def max_feasible_step(self, x, p):
+        inf = jnp.asarray(jnp.inf, x.dtype)
+        gap_lo = jnp.maximum(x - self.lb, 0)
+        gap_hi = jnp.maximum(self.ub - x, 0)
+        r_lo = jnp.where(p > 0, _safe_div(gap_lo, p, inf), inf)
+        r_hi = jnp.where(p < 0, _safe_div(gap_hi, -p, inf), inf)
+        return jnp.min(jnp.minimum(r_lo, r_hi))
+
+    def pg_residual_vec(self, x, g, gd):
+        # Exact closed form: (x - clip(x - gd g, lb, ub)) / gd
+        #                  == clip(g, (x - ub)/gd, (x - lb)/gd).
+        return jnp.clip(g, (x - self.ub) / gd, (x - self.lb) / gd)
+
+    def contains(self, x):
+        tol_l = ACTIVE_ATOL + ACTIVE_RTOL * jnp.abs(self.lb)
+        tol_u = ACTIVE_ATOL + ACTIVE_RTOL * jnp.abs(self.ub)
+        return jnp.all((x >= self.lb - tol_l) & (x <= self.ub + tol_u))
+
+
+@register_pytree_dataclass
+class BallProj(Projection):
+    """{x : ||x - center|| <= radius}.  Reference: ``SphereProjOp``
+    (solution_spaces.py:369-435), which is origin-centred; we generalize with a
+    center.  The reference's ``projected_gradient`` raises NotImplementedError
+    (solution_spaces.py:405-415); ours implements the tangential/outward split.
+    """
+
+    radius: jax.Array
+    center: jax.Array
+
+    @staticmethod
+    def make(radius, center=0.0, dtype=jnp.float32):
+        return BallProj(jnp.asarray(radius, dtype), jnp.asarray(center, dtype))
+
+    def project(self, x):
+        y = x - self.center
+        nrm = jnp.linalg.norm(y)
+        scale = jnp.where(nrm > self.radius, _safe_div(self.radius, nrm, jnp.ones_like(nrm)), 1.0)
+        return self.center + scale * y
+
+    def is_active(self, x):
+        nrm = jnp.linalg.norm(x - self.center)
+        return nrm >= self.radius - (ACTIVE_ATOL + ACTIVE_RTOL * jnp.abs(self.radius))
+
+    def normal(self, x):
+        y = self.project(x) - self.center
+        nrm = jnp.linalg.norm(y)
+        unit = _safe_div(y, nrm, jnp.zeros_like(y))
+        return jnp.where(self.is_active(x), unit, 0)
+
+    def free_chopped(self, x, g):
+        n = self.normal(x)
+        ng = jnp.vdot(n, g)
+        active = self.is_active(x)
+        tangential = g - ng * n
+        free = jnp.where(active, tangential, g)
+        chopped = jnp.where(active, jnp.maximum(ng, 0), 0) * n
+        return free, chopped
+
+    def max_feasible_step(self, x, p):
+        # ||(x - a p) - c||^2 <= r^2: quadratic in a with q(0) <= 0 inside.
+        y = x - self.center
+        a = jnp.vdot(p, p)
+        b = -2 * jnp.vdot(y, p)
+        c = jnp.vdot(y, y) - self.radius**2
+        # q(a) = a*t^2 + b*t + c must stay <= 0; entering _min_positive_root
+        # convention (q >= 0 feasible) requires flipping signs.
+        return _min_positive_root(-a, -b, -c, x.dtype)
+
+    def contains(self, x):
+        r = self.radius
+        return jnp.linalg.norm(x - self.center) <= r + (ACTIVE_ATOL + ACTIVE_RTOL * jnp.abs(r))
+
+
+@register_pytree_dataclass
+class LorentzConeProj(Projection):
+    """Second-order (ice-cream) cone {(u, z) : ||u|| <= mu z}, z the LAST
+    coordinate.
+
+    Correct Moreau three-case SOC projection — the reference's
+    ``ConeProjOp`` carries ``# TODO(palmerb4): This projection op is bugged``
+    (solution_spaces.py:439) and flips the sign of the z-component of its
+    surface projection (solution_spaces.py:491-492).  Standard result:
+
+        inside  (||u|| <=  mu z) -> x
+        polar   (mu ||u|| <= -z) -> 0
+        else    t = (mu ||u|| + z) / (mu^2 + 1);  proj = (t mu u/||u||, t)
+    """
+
+    mu: jax.Array
+
+    @staticmethod
+    def make(mu=1.0, dtype=jnp.float32):
+        return LorentzConeProj(jnp.asarray(mu, dtype))
+
+    def _split(self, x):
+        return x[..., :-1], x[..., -1]
+
+    def project(self, x):
+        u, z = self._split(x)
+        mu = self.mu
+        un = jnp.linalg.norm(u, axis=-1)
+        inside = un <= mu * z
+        polar = mu * un <= -z
+        t = (mu * un + z) / (mu * mu + 1)
+        udir = _safe_div(u, un[..., None], jnp.zeros_like(u))
+        proj_u = t[..., None] * mu * udir
+        proj_z = t
+        out_u = jnp.where(inside[..., None], u, jnp.where(polar[..., None], 0, proj_u))
+        out_z = jnp.where(inside, z, jnp.where(polar, 0, proj_z))
+        return jnp.concatenate([out_u, out_z[..., None]], axis=-1)
+
+    def is_active(self, x):
+        u, z = self._split(x)
+        un = jnp.linalg.norm(u, axis=-1)
+        slack = self.mu * z - un
+        return slack <= ACTIVE_ATOL + ACTIVE_RTOL * jnp.abs(self.mu * z)
+
+    def is_apex(self, x):
+        return jnp.linalg.norm(x, axis=-1) <= ACTIVE_ATOL
+
+    def normal(self, x):
+        """Outward unit normal on the cone surface; zero at interior/apex."""
+        xp = self.project(x)
+        u, _ = self._split(xp)
+        mu = self.mu
+        un = jnp.linalg.norm(u, axis=-1)
+        udir = _safe_div(u, un[..., None], jnp.zeros_like(u))
+        denom = jnp.sqrt(1 + mu * mu)
+        zpart = jnp.broadcast_to(jnp.asarray(-mu / denom)[..., None],
+                                 u.shape[:-1] + (1,))
+        n = jnp.concatenate([udir / denom, zpart], axis=-1)
+        active = self.is_active(xp) & ~self.is_apex(xp)
+        return jnp.where(active[..., None], n, 0).reshape(x.shape)
+
+    def free_chopped(self, x, g):
+        n = self.normal(x)
+        ng = jnp.sum(n * g, axis=-1)
+        on_surface = self.is_active(x) & ~self.is_apex(x)
+        apex = self.is_apex(x)
+        tangential = g - ng[..., None] * n
+        free_surface = jnp.where(on_surface[..., None], tangential, g)
+        chop_surface = jnp.where(on_surface[..., None], jnp.maximum(ng, 0)[..., None] * n, 0)
+        # Apex: optimal iff project(-g) == 0; violation is the feasible
+        # descent component -project(-g).
+        desc = self.project(-g)
+        free = jnp.where(apex[..., None], 0, free_surface)
+        chopped = jnp.where(apex[..., None], -desc, chop_surface)
+        return free, chopped
+
+    def max_feasible_step(self, x, p):
+        u, z = self._split(x)
+        pu, pz = self._split(p)
+        mu2 = self.mu * self.mu
+        # q(a) = mu^2 (z - a pz)^2 - ||u - a pu||^2 >= 0 and z - a pz >= 0.
+        qa = mu2 * pz * pz - jnp.vdot(pu, pu)
+        qb = -2 * mu2 * z * pz + 2 * jnp.vdot(u, pu)
+        qc = mu2 * z * z - jnp.vdot(u, u)
+        root = _min_positive_root(qa, qb, qc, x.dtype)
+        inf = jnp.asarray(jnp.inf, x.dtype)
+        zcap = jnp.where(pz > 0, _safe_div(z, pz, inf), inf)
+        return jnp.minimum(root, zcap)
+
+    def contains(self, x):
+        u, z = self._split(x)
+        un = jnp.linalg.norm(u, axis=-1)
+        ok = un <= self.mu * z + (ACTIVE_ATOL + ACTIVE_RTOL * jnp.abs(self.mu * z))
+        return jnp.all(ok)
+
+
+@register_pytree_dataclass(meta_fields=("block_dim",))
+class BlockwiseProj(Projection):
+    """Cartesian power of one sub-operator over contiguous equal blocks.
+
+    The TPU-native form of the reference's uniform ``DisjointProjOp`` usage
+    (``benchmark_random_ccqp.py:202-211`` builds k copies of a 3-dim op):
+    reshape to (num_blocks, block_dim) and ``vmap`` the child — zero Python
+    dispatch, fully batched on the VPU.
+
+    The child operator's array parameters may be either unbatched (shared
+    across blocks) or stacked with a leading ``num_blocks`` axis (per-block);
+    vmap broadcasting handles both via ``child_axes``.
+    """
+
+    child: Projection
+    block_dim: int
+
+    def _blocks(self, x):
+        return x.reshape(x.shape[:-1] + (-1, self.block_dim))
+
+    def _vmap(self, fn, *args):
+        return jax.vmap(fn)(*args)
+
+    def _child_map(self, method, x, *extra):
+        xb = self._blocks(x)
+        child = self.child
+        # Broadcast child params over the block axis when unbatched.
+        def call(xb_i, *e):
+            return getattr(child, method)(xb_i, *e)
+        out = jax.vmap(call)(xb, *[self._blocks(e) for e in extra])
+        return out
+
+    def project(self, x):
+        return self._child_map("project", x).reshape(x.shape)
+
+    def normal(self, x):
+        return self._child_map("normal", x).reshape(x.shape)
+
+    def free_chopped(self, x, g):
+        free, chopped = self._child_map("free_chopped", x, g)
+        return free.reshape(x.shape), chopped.reshape(x.shape)
+
+    def max_feasible_step(self, x, p):
+        xb, pb = self._blocks(x), self._blocks(p)
+        steps = jax.vmap(self.child.max_feasible_step)(xb, pb)
+        return jnp.min(steps)
+
+    def pg_residual_vec(self, x, g, gd):
+        xb, gb = self._blocks(x), self._blocks(g)
+        r = jax.vmap(lambda xi, gi: self.child.pg_residual_vec(xi, gi, gd))(xb, gb)
+        return r.reshape(x.shape)
+
+    def contains(self, x):
+        return jnp.all(jax.vmap(self.child.contains)(self._blocks(x)))
+
+
+@register_pytree_dataclass(meta_fields=("dims",))
+class ProductProj(Projection):
+    """Cartesian product of heterogeneous sub-operators over contiguous
+    index blocks — the general form of the reference's ``DisjointProjOp``
+    (solution_spaces.py:495-560).  The child list and block sizes are static,
+    so the composition unrolls at trace time into fused elementwise code.
+    """
+
+    children: tuple
+    dims: tuple
+
+    @staticmethod
+    def make(*ops_and_dims):
+        """ProductProj.make((op, dim), (op, dim), ...)."""
+        ops = tuple(o for o, _ in ops_and_dims)
+        dims = tuple(int(d) for _, d in ops_and_dims)
+        return ProductProj(ops, dims)
+
+    def _slices(self, x):
+        out, start = [], 0
+        for d in self.dims:
+            out.append(jax.lax.slice_in_dim(x, start, start + d, axis=-1))
+            start += d
+        return out
+
+    def _apply_concat(self, method, x, *extra):
+        xs = self._slices(x)
+        extras = [self._slices(e) for e in extra]
+        parts = [getattr(c, method)(xi, *[e[i] for e in extras])
+                 for i, (c, xi) in enumerate(zip(self.children, xs))]
+        return jnp.concatenate(parts, axis=-1)
+
+    def project(self, x):
+        return self._apply_concat("project", x)
+
+    def normal(self, x):
+        return self._apply_concat("normal", x)
+
+    def free_chopped(self, x, g):
+        xs, gs = self._slices(x), self._slices(g)
+        fc = [c.free_chopped(xi, gi) for c, xi, gi in zip(self.children, xs, gs)]
+        free = jnp.concatenate([f for f, _ in fc], axis=-1)
+        chopped = jnp.concatenate([ch for _, ch in fc], axis=-1)
+        return free, chopped
+
+    def max_feasible_step(self, x, p):
+        xs, ps = self._slices(x), self._slices(p)
+        steps = [c.max_feasible_step(xi, pi) for c, xi, pi in zip(self.children, xs, ps)]
+        return jnp.min(jnp.stack(steps))
+
+    def pg_residual_vec(self, x, g, gd):
+        xs, gs = self._slices(x), self._slices(g)
+        parts = [c.pg_residual_vec(xi, gi, gd) for c, xi, gi in zip(self.children, xs, gs)]
+        return jnp.concatenate(parts, axis=-1)
+
+    def contains(self, x):
+        xs = self._slices(x)
+        return jnp.all(jnp.stack([c.contains(xi) for c, xi in zip(self.children, xs)]))
+
+
+def box(lb, ub, dtype=jnp.float32):
+    return BoxProj(jnp.asarray(lb, dtype), jnp.asarray(ub, dtype))
+
+
+def lower_bound(lb, dtype=jnp.float32):
+    return LowerBoundProj(jnp.asarray(lb, dtype))
+
+
+def upper_bound(ub, dtype=jnp.float32):
+    return UpperBoundProj(jnp.asarray(ub, dtype))
+
+
+def identity():
+    return IdentityProj()
+
+
+def ball(radius, center=0.0, dtype=jnp.float32):
+    return BallProj.make(radius, center, dtype)
+
+
+def lorentz_cone(mu=1.0, dtype=jnp.float32):
+    return LorentzConeProj.make(mu, dtype)
+
+
+def blockwise(child, block_dim):
+    return BlockwiseProj(child, int(block_dim))

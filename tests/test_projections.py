@@ -1,0 +1,178 @@
+"""Projection-algebra unit + property tests.
+
+The reference tests only the identity projection
+(``/root/reference/tests/test_module.py:10-15``); every other operator is
+untested there (the cone is known-bugged).  Here every operator gets:
+
+* idempotence:        project(project(x)) == project(x)
+* feasibility:        project(x) is in the set
+* nonexpansiveness:   ||P(x) - P(y)|| <= ||x - y||
+* max_feasible_step:  x - a*p stays feasible for a in [0, step]
+* pg_residual_vec:    matches the literal (x - P(x - gd g))/gd in f64
+* free/chopped:       zero iff KKT holds; free+chopped supported correctly
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ccqppy_tpu.ops import projections as P
+
+DT = jnp.float64
+
+
+def ops(dim=6):
+    rng = np.random.default_rng(0)
+    lb = jnp.asarray(np.sort(rng.uniform(-2, 0, dim)), DT)
+    ub = jnp.asarray(np.sort(rng.uniform(0.5, 2, dim)), DT)
+    return {
+        "identity": P.identity(),
+        "lower": P.lower_bound(lb),
+        "upper": P.upper_bound(ub),
+        "box": P.box(lb, ub),
+        "ball": P.ball(1.3, dtype=DT),
+        "cone": P.lorentz_cone(0.7, dtype=DT),
+        "blockwise_box": P.blockwise(P.box(jnp.asarray([-1.0, 0.0, -2.0]),
+                                           jnp.asarray([1.0, 2.0, 0.5]), DT), 3),
+        "blockwise_cone": P.blockwise(P.lorentz_cone(1.1, dtype=DT), 3),
+        "product": P.ProductProj.make(
+            (P.box(lb[:2], ub[:2]), 2),
+            (P.ball(1.0, dtype=DT), 2),
+            (P.lorentz_cone(0.9, dtype=DT), 2),
+        ),
+    }
+
+
+def sample(dim, n, seed=1, scale=3.0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.uniform(-scale, scale, (n, dim)), DT)
+
+
+@pytest.mark.parametrize("name", list(ops().keys()))
+def test_idempotent_and_feasible(name):
+    op = ops()[name]
+    for x in sample(6, 50):
+        p1 = op.project(x)
+        p2 = op.project(p1)
+        np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), atol=1e-12)
+        assert bool(op.contains(p1)), f"{name}: projection not feasible"
+
+
+@pytest.mark.parametrize("name", list(ops().keys()))
+def test_nonexpansive(name):
+    op = ops()[name]
+    xs = sample(6, 30, seed=2)
+    ys = sample(6, 30, seed=3)
+    for x, y in zip(xs, ys):
+        d_proj = float(jnp.linalg.norm(op.project(x) - op.project(y)))
+        d = float(jnp.linalg.norm(x - y))
+        assert d_proj <= d + 1e-10, name
+
+
+@pytest.mark.parametrize("name", list(ops().keys()))
+def test_projection_optimality(name):
+    """P(x) is the closest feasible point: for any feasible z,
+    <x - P(x), z - P(x)> <= 0 (variational characterisation)."""
+    op = ops()[name]
+    xs = sample(6, 20, seed=4)
+    zs = [op.project(z) for z in sample(6, 20, seed=5)]
+    for x in xs:
+        px = op.project(x)
+        for z in zs:
+            ip = float(jnp.vdot(x - px, z - px))
+            assert ip <= 1e-9, f"{name}: variational inequality violated ({ip})"
+
+
+@pytest.mark.parametrize("name", list(ops().keys()))
+def test_max_feasible_step(name):
+    op = ops()[name]
+    xs = [op.project(x) for x in sample(6, 30, seed=6)]
+    ps = sample(6, 30, seed=7, scale=1.0)
+    for x, p in zip(xs, ps):
+        a = float(op.max_feasible_step(x, p))
+        assert a >= -1e-12
+        for frac in (0.0, 0.5, 0.999):
+            step = min(a, 1e6) * frac
+            y = x - step * p
+            yp = op.project(y)
+            assert float(jnp.linalg.norm(y - yp)) < 1e-6, \
+                f"{name}: x - {step}*p infeasible (max step {a})"
+        # Just beyond the step must be infeasible (when finite and binding).
+        if np.isfinite(a) and a < 1e5:
+            y = x - (a * 1.01 + 1e-9) * p
+            assert float(jnp.linalg.norm(y - op.project(y))) > 0, name
+
+
+@pytest.mark.parametrize("name", list(ops().keys()))
+def test_pg_residual_matches_literal(name):
+    op = ops()[name]
+    gd = 1e-6
+    xs = [op.project(x) for x in sample(6, 25, seed=8)]
+    gs = sample(6, 25, seed=9)
+    for x, g in zip(xs, gs):
+        stable = np.asarray(op.pg_residual_vec(x, g, gd))
+        literal = np.asarray((x - op.project(x - gd * g)) / gd)
+        np.testing.assert_allclose(stable, literal, rtol=1e-6, atol=1e-4)
+
+
+def test_box_pg_residual_stable_in_f32():
+    """The closed form stays exact in f32 where the literal formula
+    collapses (x - 1e-6*g rounds to x at f32 precision)."""
+    lb = jnp.asarray([-200.0, -1.0], jnp.float32)
+    ub = jnp.asarray([200.0, 1.0], jnp.float32)
+    op = P.box(lb, ub, jnp.float32)
+    x = jnp.asarray([100.5, 1.0], jnp.float32)
+    g = jnp.asarray([2.0, -3.0], jnp.float32)
+    r = np.asarray(op.pg_residual_vec(x, g, 1e-6))
+    # coord 0 interior -> residual == g; coord 1 at the upper bound with a
+    # descent direction pushing out -> residual 0.
+    np.testing.assert_allclose(r, [2.0, 0.0], rtol=1e-6)
+    # The literal probe collapses at f32: 100.5 - 2e-6 rounds back to 100.5.
+    literal = np.asarray((x - op.project(x - 1e-6 * g)) / 1e-6)
+    assert abs(literal[0] - 2.0) > 1.0
+
+
+def test_cone_projection_cases():
+    """Correct SOC projection (the reference ConeProjOp is bugged —
+    solution_spaces.py:439)."""
+    op = P.lorentz_cone(1.0, dtype=DT)
+    inside = jnp.asarray([0.3, 0.0, 1.0], DT)
+    np.testing.assert_allclose(np.asarray(op.project(inside)), np.asarray(inside))
+    # polar cone -> apex
+    polar = jnp.asarray([0.5, 0.0, -1.0], DT)
+    np.testing.assert_allclose(np.asarray(op.project(polar)), np.zeros(3), atol=1e-14)
+    # outside -> surface, with ||u|| == mu*z and optimality
+    x = jnp.asarray([2.0, 0.0, 0.5], DT)
+    px = np.asarray(op.project(x))
+    assert abs(np.linalg.norm(px[:2]) - px[2]) < 1e-12
+    np.testing.assert_allclose(px, [1.25, 0.0, 1.25])
+
+
+def test_free_chopped_kkt():
+    """free+chopped vanish exactly at a KKT point, and the chopped part
+    flags bound violations with the Dostal sign convention."""
+    lb = jnp.zeros(3, DT)
+    op = P.lower_bound(lb)
+    x = jnp.asarray([0.0, 1.0, 0.0], DT)
+    g = jnp.asarray([2.0, 0.0, -3.0], DT)   # coord 0: KKT ok; coord 2: violated
+    free, chopped = op.free_chopped(x, g)
+    np.testing.assert_allclose(np.asarray(free), [0.0, 0.0, 0.0])
+    np.testing.assert_allclose(np.asarray(chopped), [0.0, 0.0, -3.0])
+
+    box = P.box(lb, jnp.ones(3, DT))
+    x = jnp.asarray([1.0, 0.5, 0.0], DT)
+    g = jnp.asarray([1.0, 0.0, -1.0], DT)   # upper active, g>0 -> chopped
+    free, chopped = box.free_chopped(x, g)
+    np.testing.assert_allclose(np.asarray(free), [0.0, 0.0, 0.0])
+    np.testing.assert_allclose(np.asarray(chopped), [1.0, 0.0, -1.0])
+
+
+def test_ops_vmap():
+    """Every operator vmaps over a batch of points."""
+    for name, op in ops().items():
+        xs = sample(6, 8, seed=11)
+        batched = jax.vmap(op.project)(xs)
+        single = jnp.stack([op.project(x) for x in xs])
+        np.testing.assert_allclose(np.asarray(batched), np.asarray(single),
+                                   atol=1e-12, err_msg=name)

@@ -1,0 +1,133 @@
+"""Solver integration tests against the oracle problem suite.
+
+Mirrors the reference's core test
+(``/root/reference/tests/test_module.py:18-73``): every solver, on every
+analytical problem, must converge at tol 1e-8 within a 10k-matvec budget and
+land within 1e-5 of the exact solution.  Unlike the reference, MPRGP-BB is
+tested too (it is commented out there), plus ball- and cone-constrained
+problems the reference never covers.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ccqppy_tpu.models import SOLVERS
+from ccqppy_tpu.ops import projections as P
+from ccqppy_tpu.utils import problems
+
+TOL = 1e-8
+BUDGET = 10_000
+
+
+def _solver_config(name, cfg_cls):
+    kwargs = {"tol": TOL, "max_matvecs": BUDGET}
+    if name == "pgd":
+        kwargs["step_size"] = 0.1   # the reference tests pass 0.1 too
+    return cfg_cls(**kwargs)
+
+
+@pytest.mark.parametrize("solver_name", list(SOLVERS.keys()))
+@pytest.mark.parametrize("problem_fn", [
+    problems.unconstrained_spd_1,
+    problems.unconstrained_spd_2,
+    problems.box_constrained_spd,
+    problems.thin_box_constrained_spd,
+    problems.active_box_constrained_spd,
+    problems.readme_problem,
+])
+def test_oracle_problems(solver_name, problem_fn):
+    fn, cfg_cls = SOLVERS[solver_name]
+    prob = problem_fn()
+    r = fn(prob.A, prob.b, proj=prob.proj,
+           config=_solver_config(solver_name, cfg_cls))
+    assert bool(r.converged), f"{solver_name} failed on {prob.name}"
+    err = float(jnp.linalg.norm(r.x - prob.exact_solution))
+    assert err < 1e-5, f"{solver_name} on {prob.name}: err={err}"
+
+
+@pytest.mark.parametrize("solver_name", ["bbpgd", "bbpgd_f", "spg", "mprgp",
+                                         "mprgp_bb", "apgd_ar"])
+def test_ball_constrained(solver_name):
+    """Active ball constraint: A = I, b = -2*ones/sqrt(3) -> unconstrained
+    optimum at 2/sqrt(3)*ones (norm 2), projected solution at unit norm."""
+    fn, cfg_cls = SOLVERS[solver_name]
+    n = 3
+    A = jnp.eye(n, dtype=jnp.float64)
+    direction = jnp.ones(n, dtype=jnp.float64) / jnp.sqrt(3.0)
+    b = -2.0 * direction
+    proj = P.ball(1.0, dtype=jnp.float64)
+    r = fn(A, b, proj=proj, config=cfg_cls(tol=TOL, max_matvecs=BUDGET))
+    assert bool(r.converged)
+    np.testing.assert_allclose(np.asarray(r.x), np.asarray(direction), atol=1e-5)
+
+
+@pytest.mark.parametrize("solver_name", ["bbpgd", "bbpgd_f", "mprgp_bb"])
+def test_cone_constrained(solver_name):
+    """Lorentz-cone constrained QP with a known KKT solution: A = I,
+    unconstrained optimum outside the cone; the solution is its SOC
+    projection (valid because A = I makes the QP a projection problem)."""
+    fn, cfg_cls = SOLVERS[solver_name]
+    mu = 1.0
+    proj = P.lorentz_cone(mu, dtype=jnp.float64)
+    n = 3
+    A = jnp.eye(n, dtype=jnp.float64)
+    target = jnp.asarray([2.0, 0.0, 0.5], jnp.float64)   # outside the cone
+    b = -target
+    expected = np.asarray(proj.project(target))
+    r = fn(A, b, proj=proj, config=cfg_cls(tol=TOL, max_matvecs=BUDGET))
+    assert bool(r.converged)
+    np.testing.assert_allclose(np.asarray(r.x), expected, atol=1e-5)
+
+
+@pytest.mark.parametrize("solver_name", list(SOLVERS.keys()))
+def test_blockwise_disjoint(solver_name):
+    """Blockwise (disjoint-union) constraint layout, the reference's
+    contact-mechanics pattern (benchmark_random_ccqp.py:202-211): 2 box
+    blocks of dim 3 on a 6-dim SPD problem."""
+    fn, cfg_cls = SOLVERS[solver_name]
+    rng = np.random.default_rng(42)
+    G = rng.standard_normal((6, 6))
+    A = jnp.asarray(G @ G.T + 6 * np.eye(6), jnp.float64)
+    x_exact = jnp.asarray(rng.uniform(-0.5, 0.5, 6), jnp.float64)
+    b = -A @ x_exact
+    proj = P.blockwise(P.box(-jnp.ones(3, jnp.float64), jnp.ones(3, jnp.float64)), 3)
+    r = fn(A, b, proj=proj, config=_solver_config(solver_name, cfg_cls))
+    assert bool(r.converged), solver_name
+    err = float(jnp.linalg.norm(r.x - x_exact))
+    assert err < 1e-5, f"{solver_name}: err={err}"
+
+
+def test_warm_start():
+    """x0 warm-starting (the reference's only resume mechanism,
+    solvers.py:19,94): starting at the solution converges immediately."""
+    fn, cfg_cls = SOLVERS["bbpgd"]
+    prob = problems.box_constrained_spd()
+    r1 = fn(prob.A, prob.b, proj=prob.proj, config=cfg_cls(tol=TOL))
+    r2 = fn(prob.A, prob.b, x0=r1.x, proj=prob.proj, config=cfg_cls(tol=TOL))
+    assert int(r2.iterations) == 0
+    assert bool(r2.converged)
+
+
+def test_budget_exhaustion_reports_not_converged():
+    """Budget semantics kept from the reference (solvers.py:163-164):
+    converged := matvecs < max_matvecs."""
+    fn, cfg_cls = SOLVERS["pgd"]
+    prob = problems.box_constrained_spd()
+    r = fn(prob.A, prob.b, proj=prob.proj,
+           config=cfg_cls(tol=1e-14, max_matvecs=5, step_size=0.1))
+    assert not bool(r.converged)
+    assert int(r.matvecs) >= 5
+
+
+def test_spg_reproducible():
+    """SPG with the same key is bitwise reproducible (the reference uses
+    global np.random state and is not, solvers.py:959)."""
+    import jax
+    fn, cfg_cls = SOLVERS["spg"]
+    prob = problems.box_constrained_spd()
+    cfg = cfg_cls(tol=TOL)
+    r1 = fn(prob.A, prob.b, proj=prob.proj, config=cfg, key=jax.random.PRNGKey(7))
+    r2 = fn(prob.A, prob.b, proj=prob.proj, config=cfg, key=jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))
+    assert int(r1.matvecs) == int(r2.matvecs)
