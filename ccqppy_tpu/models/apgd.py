@@ -81,8 +81,8 @@ def solve(A, b, x0=None, proj=None, config: APGDConfig = APGDConfig()):
     # Initial Lipschitz estimate L0 = ||A (x0 - 1)|| / ||x0 - 1||
     # (``solvers.py:263-268``), guarded against x0 == 1.
     xdiff = x0 - jnp.ones_like(x0)
-    num = jnp.linalg.norm(op.matvec(xdiff))
-    den = jnp.linalg.norm(xdiff)
+    num = op.norm(op.matvec(xdiff))
+    den = op.norm(xdiff)
     L0 = jnp.where(den > 0, num / jnp.where(den > 0, den, 1), jnp.asarray(1.0, dtype))
 
     inf = jnp.asarray(jnp.inf, dtype)
@@ -133,7 +133,7 @@ def solve(A, b, x0=None, proj=None, config: APGDConfig = APGDConfig()):
         beta = th * (1 - th) / (th * th + th1)
         y1 = (1 + beta) * x1 - beta * s.x
 
-        res = pg_residual(proj, x1, Ax1 + b, config.gd)
+        res = pg_residual(proj, x1, Ax1 + b, config.gd, op)
 
         if config.anti_relaxation:
             better = res < s.resmin

@@ -60,11 +60,18 @@ class SolverConfig:
     gd: float = 1e-6
 
 
-def pg_residual(proj, x, g, gd):
-    """Normalized projected-gradient residual (Mazhar 2015 Eq. 25)."""
-    n = x.shape[-1]
+def pg_residual(proj, x, g, gd, op=None):
+    """Normalized projected-gradient residual (Mazhar 2015 Eq. 25).
+
+    When ``op`` is given, the norm and the logical dimension n come from the
+    operator so distributed (shard_map) solves reduce globally; without it
+    the local vdot/shape are used.
+    """
     r = proj.pg_residual_vec(x, g, gd)
-    return jnp.linalg.norm(r) / (3.0 * n)
+    if op is None:
+        return jnp.linalg.norm(r) / (3.0 * x.shape[-1])
+    n = op.global_size(x)
+    return jnp.sqrt(op.dot(r, r)) / (3.0 * n)
 
 
 def make_result(x, residual, matvecs, iterations, max_matvecs):

@@ -54,7 +54,7 @@ class _State(NamedTuple):
 
 def _init(op, b, x0, proj, config):
     g0 = op.matvec(x0) + b
-    res0 = pg_residual(proj, x0, g0, config.gd)
+    res0 = pg_residual(proj, x0, g0, config.gd, op)
     gAg = op.dot(g0, op.matvec(g0))
     alpha0 = op.dot(g0, g0) / gAg
     inf = jnp.asarray(jnp.inf, b.dtype)
@@ -81,7 +81,7 @@ def _solve(A, b, x0, proj, config, fallback: bool):
         x = proj.project(s.x - s.alpha * s.g)
         g = op.matvec(x) + b
         mv = s.mv + 1
-        res = pg_residual(proj, x, g, config.gd)
+        res = pg_residual(proj, x, g, config.gd, op)
         done = (res < config.tol) | (mv >= config.max_matvecs)
 
         if fallback:

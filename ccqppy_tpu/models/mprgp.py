@@ -89,7 +89,7 @@ def _solve(A, b, x0, proj, config, bb_variant: bool):
 
     x_init = proj.project(x0)
     g_init = op.matvec(x_init) + b
-    res0 = pg_residual(proj, x_init, g_init, config.gd)
+    res0 = pg_residual(proj, x_init, g_init, config.gd, op)
 
     if bb_variant:
         # Fixed expansion step alpha_bar = 2 / ||A||_inf (docs MPRGPBB).
@@ -122,7 +122,7 @@ def _solve(A, b, x0, proj, config, bb_variant: bool):
             # Disk reference: alpha_cg = psi.p / p.Ap (``solvers.py:1106``);
             # Dostal writes g.p / p.Ap — identical on the face where p lives.
             alpha_cg = op.dot(psi, s.p) / pAp
-            alpha_f = proj.max_feasible_step(s.x, s.p)
+            alpha_f = op.reduce_min(proj.max_feasible_step(s.x, s.p))
 
             def cg(_):
                 x1 = s.x - alpha_cg * s.p
@@ -184,7 +184,7 @@ def _solve(A, b, x0, proj, config, bb_variant: bool):
 
         x1, g1, p1, a_bb, mv = lax.cond(proportional, cg_or_expand,
                                         proportioning, s)
-        res = pg_residual(proj, x1, g1, config.gd)
+        res = pg_residual(proj, x1, g1, config.gd, op)
         done = (res < config.tol) | (mv >= config.max_matvecs)
         return _State(x1, g1, p1, a_bb, s.x, s.g, res, mv, s.it + 1, done)
 

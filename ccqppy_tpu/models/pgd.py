@@ -47,7 +47,7 @@ def solve(A, b, x0=None, proj=None, config: PGDConfig = PGDConfig()):
     t = jnp.asarray(config.step_size, b.dtype)
 
     g0 = op.matvec(x0) + b
-    res0 = pg_residual(proj, x0, g0, config.gd)
+    res0 = pg_residual(proj, x0, g0, config.gd, op)
     s0 = _State(x0, g0, res0, jnp.int32(1), jnp.int32(0), res0 < config.tol)
 
     def cond(s):
@@ -57,7 +57,7 @@ def solve(A, b, x0=None, proj=None, config: PGDConfig = PGDConfig()):
         x = proj.project(s.x - t * s.g)
         g = op.matvec(x) + b
         mv = s.mv + 1
-        res = pg_residual(proj, x, g, config.gd)
+        res = pg_residual(proj, x, g, config.gd, op)
         done = (res < config.tol) | (mv >= config.max_matvecs)
         return _State(x, g, res, mv, s.it + 1, done)
 

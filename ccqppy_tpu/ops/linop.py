@@ -43,6 +43,14 @@ class LinearOperator:
         (docs solvers.html MPRGPBB: ``alpha_bar = 2/np.linalg.norm(A, np.inf)``)."""
         raise NotImplementedError
 
+    def global_size(self, x):
+        """Logical problem dimension n given an iterate (shard)."""
+        return x.shape[-1]
+
+    def reduce_min(self, v):
+        """Global min of a per-shard scalar (identity off-mesh)."""
+        return v
+
 
 @register_pytree_dataclass
 class DenseOperator(LinearOperator):
@@ -101,20 +109,26 @@ class BlockSparseOperator(LinearOperator):
         return jnp.max(rowsum)
 
 
-@register_pytree_dataclass(meta_fields=("axis",))
+@register_pytree_dataclass(meta_fields=("axis", "axis_size"))
 class ShardedDenseOperator(LinearOperator):
     """Row-block-sharded dense operator for use inside ``shard_map``.
 
     Each shard holds the local row block ``A_local: (n_local, n)`` of A and
     the solver carries the *sharded* iterate ``x_local: (n_local,)``.  The
     matvec all-gathers x along ``axis`` (ICI collective) and computes the
-    local GEMV; dot products psum partial reductions.  This is the TPU-native
-    replacement for the reference's (nonexistent) distributed path — see
-    SURVEY.md section 2.8.
+    local GEMV; dot products / norms / feasible-step minima psum/pmin their
+    per-shard partials, so the *unchanged* solver kernels run correctly
+    distributed.  This is the TPU-native replacement for the reference's
+    (nonexistent) distributed path — see SURVEY.md section 2.8.
+
+    Constraint: the projection must be separable (box/bounds/identity) or
+    blockwise with blocks aligned to the shard boundary — global-norm sets
+    (ball, cone spanning shards) would need their own collectives.
     """
 
     A_local: jax.Array
     axis: str
+    axis_size: int
 
     def matvec(self, x_local):
         x_full = lax.all_gather(x_local, self.axis, tiled=True)
@@ -125,6 +139,12 @@ class ShardedDenseOperator(LinearOperator):
 
     def inf_norm(self):
         return lax.pmax(jnp.max(jnp.sum(jnp.abs(self.A_local), axis=-1)), self.axis)
+
+    def global_size(self, x):
+        return x.shape[-1] * self.axis_size
+
+    def reduce_min(self, v):
+        return lax.pmin(v, self.axis)
 
 
 def as_operator(A) -> LinearOperator:

@@ -1,0 +1,212 @@
+"""Random-ensemble benchmark harness, batched on device.
+
+Re-design of the reference ``BenchmarkRandomCCQP``
+(``/root/reference/benchmarks/benchmark_random_ccqp.py:15-152``): the same
+four result tensors of shape [n_solvers, n_proj_families, n_sizes, n_trials]
+— residual, converged, solve time, matvec count — but each (solver, family,
+size) cell is ONE batched device solve over all trials (vmap with exact
+convergence masking) instead of a serial Python loop; times come from
+``block_until_ready``-bracketed wall clock over the whole batch, reported
+per-problem.
+
+Results export as JSON/CSV (primary) and matplotlib plots (optional,
+``ccqppy_tpu.utils.plotting``) — the reference only ever shows interactive
+plots and never writes files.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from typing import Callable, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ccqppy_tpu.models import SOLVERS
+from ccqppy_tpu.parallel.batch import solve_batched
+from ccqppy_tpu.utils.random_qp import random_qp_batch
+
+
+@dataclasses.dataclass
+class BenchmarkResult:
+    solver_names: list
+    family_names: list
+    sizes: list
+    num_trials: int
+    residual: np.ndarray    # [S, F, N, T]
+    converged: np.ndarray
+    solve_time: np.ndarray  # seconds per problem (batch wall / T)
+    matvecs: np.ndarray
+
+    def to_json(self, path=None):
+        payload = {
+            "solvers": self.solver_names,
+            "families": self.family_names,
+            "sizes": list(map(int, self.sizes)),
+            "num_trials": self.num_trials,
+            "residual": self.residual.tolist(),
+            "converged": self.converged.tolist(),
+            "solve_time": self.solve_time.tolist(),
+            "matvecs": self.matvecs.tolist(),
+        }
+        text = json.dumps(payload)
+        if path:
+            with open(path, "w") as f:
+                f.write(text)
+        return text
+
+    def summary(self):
+        lines = []
+        for i, s in enumerate(self.solver_names):
+            for j, f in enumerate(self.family_names):
+                for k, n in enumerate(self.sizes):
+                    lines.append(
+                        f"{s:10s} {f:12s} n={n:<6d} "
+                        f"conv={self.converged[i, j, k].mean():5.1%} "
+                        f"mv={self.matvecs[i, j, k].mean():8.1f} "
+                        f"t={self.solve_time[i, j, k].mean() * 1e3:8.3f} ms")
+        return "\n".join(lines)
+
+    def plot(self, metric="matvecs", **kw):
+        from ccqppy_tpu.utils.plotting import plot_benchmark_metric
+        data = getattr(self, metric)
+        return plot_benchmark_metric(metric, data, self.solver_names,
+                                     self.family_names, self.sizes, **kw)
+
+
+class BenchmarkRandomCCQP:
+    """Batched random-Wishart CCQP benchmark.
+
+    Parameters
+    ----------
+    num_random_trials: problems per (solver, family, size) cell — solved as
+        one vmapped batch.
+    solvers: list of solver names (keys of ``models.SOLVERS``).
+    proj_factories: dict family-name -> callable(n, dtype) -> Projection.
+    sizes: problem dimensions.
+    """
+
+    def __init__(self, num_random_trials, solvers: Sequence[str],
+                 proj_factories: dict, sizes: Sequence[int],
+                 tol=1e-5, max_matvecs=5000, dtype=jnp.float32,
+                 diag_boost=0.0, seed=0):
+        self.num_trials = int(num_random_trials)
+        self.solver_names = list(solvers)
+        self.proj_factories = dict(proj_factories)
+        self.sizes = [int(s) for s in sizes]
+        self.tol = tol
+        self.max_matvecs = max_matvecs
+        self.dtype = dtype
+        self.diag_boost = diag_boost
+        self.seed = seed
+        self.result: BenchmarkResult | None = None
+
+    def run(self, verbose=True):
+        S = len(self.solver_names)
+        F = len(self.proj_factories)
+        N = len(self.sizes)
+        T = self.num_trials
+        shape = (S, F, N, T)
+        residual = np.zeros(shape)
+        converged = np.zeros(shape, bool)
+        solve_time = np.zeros(shape)
+        matvecs = np.zeros(shape, np.int64)
+
+        key = jax.random.PRNGKey(self.seed)
+        for k, n in enumerate(self.sizes):
+            key, kprob = jax.random.split(key)
+            As, bs, _ = random_qp_batch(kprob, T, n, self.dtype,
+                                        self.diag_boost)
+            As.block_until_ready()
+            for j, (fam, factory) in enumerate(self.proj_factories.items()):
+                proj = factory(n, self.dtype)
+                for i, sname in enumerate(self.solver_names):
+                    fn, cfg_cls = SOLVERS[sname]
+                    cfg = cfg_cls(tol=self.tol, max_matvecs=self.max_matvecs)
+                    keys = (jax.random.split(jax.random.PRNGKey(self.seed + 1), T)
+                            if sname == "spg" else None)
+                    # warm-up to exclude compile time, then timed run
+                    r = solve_batched(fn, As, bs, proj=proj, config=cfg,
+                                      keys=keys)
+                    r.x.block_until_ready()
+                    t0 = time.perf_counter()
+                    r = solve_batched(fn, As, bs, proj=proj, config=cfg,
+                                      keys=keys)
+                    r.x.block_until_ready()
+                    elapsed = time.perf_counter() - t0
+                    residual[i, j, k] = np.asarray(r.residual)
+                    converged[i, j, k] = np.asarray(r.converged)
+                    matvecs[i, j, k] = np.asarray(r.matvecs)
+                    solve_time[i, j, k] = elapsed / T
+                    if verbose:
+                        print(f"[bench] {sname:10s} {fam:12s} n={n:<6d} "
+                              f"conv={converged[i, j, k].mean():5.1%} "
+                              f"mv={matvecs[i, j, k].mean():8.1f} "
+                              f"{T / elapsed:10.1f} solves/s", flush=True)
+
+        self.result = BenchmarkResult(self.solver_names,
+                                      list(self.proj_factories), self.sizes,
+                                      T, residual, converged, solve_time,
+                                      matvecs)
+        return self.result
+
+    def process_results(self, save_prefix=None):
+        """Reference parity: plot wall-time (log y), matvecs (log y),
+        residual (``benchmark_random_ccqp.py:147-152``)."""
+        assert self.result is not None, "call run() first"
+        figs = []
+        for metric, logy in (("solve_time", True), ("matvecs", True),
+                             ("residual", False)):
+            path = f"{save_prefix}_{metric}.png" if save_prefix else None
+            figs.append(self.result.plot(metric, do_log_y=logy,
+                                         save_path=path))
+        return figs
+
+
+# Standard projection-family factories (reference entry points,
+# benchmark_random_ccqp.py:155-216).
+def default_families(dtype=jnp.float32):
+    from ccqppy_tpu.ops import projections as P
+
+    def _box(n, dt):
+        return P.box(-jnp.ones(n, dt), jnp.ones(n, dt), dt)
+
+    def _lower(n, dt):
+        return P.lower_bound(-jnp.ones(n, dt), dt)
+
+    def _upper(n, dt):
+        return P.upper_bound(jnp.ones(n, dt), dt)
+
+    def _ball(n, dt):
+        return P.ball(1.0, dtype=dt)
+
+    def _identity(n, dt):
+        return P.identity()
+
+    return {"identity": _identity, "lower": _lower, "upper": _upper,
+            "ball": _ball, "box": _box}
+
+
+def disjoint_families(block_dim=3, dtype=jnp.float32):
+    """Blockwise (disjoint-union) families over ``block_dim``-sized blocks —
+    the reference's contact-mechanics pattern
+    (benchmark_random_ccqp.py:186-216), including the Lorentz cone."""
+    from ccqppy_tpu.ops import projections as P
+
+    def _wrap(child_fn):
+        def f(n, dt):
+            assert n % block_dim == 0
+            return P.blockwise(child_fn(dt), block_dim)
+        return f
+
+    return {
+        "dj_identity": _wrap(lambda dt: P.identity()),
+        "dj_lower": _wrap(lambda dt: P.lower_bound(-jnp.ones(block_dim, dt), dt)),
+        "dj_box": _wrap(lambda dt: P.box(-jnp.ones(block_dim, dt),
+                                         jnp.ones(block_dim, dt), dt)),
+        "dj_ball": _wrap(lambda dt: P.ball(1.0, dtype=dt)),
+        "dj_cone": _wrap(lambda dt: P.lorentz_cone(1.0, dtype=dt)),
+    }

@@ -1,0 +1,38 @@
+"""Random convex-QP ensemble generation, on device.
+
+Replaces the reference's host-side generator
+(``/root/reference/benchmarks/benchmark_random_ccqp.py:36-63``): Hessian from
+the Wishart distribution ``W(df=n, scale=I)`` and unconstrained optimum
+``x ~ U(-1, 1)^n`` with ``b = -A x`` — but batched with ``jax.random`` so a
+16k-problem ensemble materializes in one fused kernel on the chip instead of
+a Python loop.  (A Wishart(n, I) draw is ``G G^T`` with ``G`` an n x n
+standard normal.)  Unlike the reference — whose uniform draw ignores the
+seed, making trials only partially reproducible — every draw here derives
+from the caller's key.
+
+``diag_boost`` adds ``c * n * I``: with 0 the raw Wishart is almost surely
+full-rank but often ill-conditioned; benchmark configs that want
+well-conditioned ensembles pass e.g. 1.0.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def random_qp(key, n, dtype=jnp.float32, diag_boost=0.0):
+    """One random QP: (A, b, x_uncon) with A ~ Wishart(n, I), b = -A x."""
+    kg, kx = jax.random.split(key)
+    G = jax.random.normal(kg, (n, n), dtype)
+    A = jnp.dot(G, G.T, preferred_element_type=dtype)
+    if diag_boost:
+        A = A + diag_boost * n * jnp.eye(n, dtype=dtype)
+    x = jax.random.uniform(kx, (n,), dtype, minval=-1.0, maxval=1.0)
+    b = -jnp.dot(A, x, preferred_element_type=dtype)
+    return A, b, x
+
+
+def random_qp_batch(key, batch, n, dtype=jnp.float32, diag_boost=0.0):
+    """Batch of independent random QPs: A (B,n,n), b (B,n), x_uncon (B,n)."""
+    keys = jax.random.split(key, batch)
+    return jax.vmap(lambda k: random_qp(k, n, dtype, diag_boost))(keys)

@@ -1,0 +1,96 @@
+"""Batched + sharded solving tests on the 8-device virtual CPU mesh."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import ccqppy_tpu as cq
+from ccqppy_tpu.models import BBPGDConfig, MPRGPBBConfig, SPGConfig
+from ccqppy_tpu.parallel import (make_batch_mesh, make_mesh, solve_batched,
+                                 solve_batched_sharded, solve_sharded)
+from ccqppy_tpu.utils.random_qp import random_qp_batch
+
+CFG = BBPGDConfig(tol=1e-8, max_matvecs=5000)
+
+
+@pytest.fixture(scope="module")
+def batch_problem():
+    B, n = 16, 24
+    As, bs, xs = random_qp_batch(jax.random.PRNGKey(0), B, n, jnp.float64,
+                                 diag_boost=1.0)
+    proj = cq.box(-jnp.ones(n, jnp.float64), jnp.ones(n, jnp.float64),
+                  jnp.float64)
+    return As, bs, xs, proj
+
+
+def test_vmap_batching_exact(batch_problem):
+    """Batched lanes match standalone solves (JAX's while-loop batching
+    select-freezes finished lanes).  Tolerance is a few ulps: the batched
+    matvec accumulates in a different order than the single GEMV."""
+    As, bs, _, proj = batch_problem
+    r = solve_batched("bbpgd", As, bs, proj=proj, config=CFG)
+    assert bool(jnp.all(r.converged))
+    for i in (0, 7, 15):
+        r1 = cq.models.bbpgd.solve(As[i], bs[i], proj=proj, config=CFG)
+        np.testing.assert_allclose(np.asarray(r.x[i]), np.asarray(r1.x),
+                                   rtol=0, atol=1e-12)
+        assert abs(int(r.matvecs[i]) - int(r1.matvecs)) <= 2
+
+
+def test_shard_map_batching_matches_vmap(batch_problem):
+    As, bs, _, proj = batch_problem
+    mesh = make_batch_mesh()
+    r_v = solve_batched("bbpgd", As, bs, proj=proj, config=CFG)
+    r_s = solve_batched_sharded("bbpgd", As, bs, mesh, proj=proj, config=CFG)
+    np.testing.assert_allclose(np.asarray(r_s.x), np.asarray(r_v.x),
+                               rtol=0, atol=0)
+    np.testing.assert_array_equal(np.asarray(r_s.matvecs),
+                                  np.asarray(r_v.matvecs))
+
+
+def test_batched_spg_with_keys(batch_problem):
+    As, bs, _, proj = batch_problem
+    keys = jax.random.split(jax.random.PRNGKey(3), As.shape[0])
+    r = solve_batched("spg", As, bs, proj=proj,
+                      config=SPGConfig(tol=1e-6, max_matvecs=5000), keys=keys)
+    assert bool(jnp.all(r.converged))
+
+
+@pytest.mark.parametrize("solver", ["bbpgd", "mprgp_bb", "pgd", "apgd_ar"])
+def test_sharded_huge_qp_matches_single_device(solver):
+    """Row-sharded solve over the 8-device mesh reproduces the single-device
+    trajectory exactly (same matvec count, same solution)."""
+    n = 64
+    As, bs, _ = random_qp_batch(jax.random.PRNGKey(1), 1, n, jnp.float64,
+                                diag_boost=1.0)
+    A, b = As[0], bs[0]
+    proj = cq.box(-jnp.ones(n, jnp.float64), jnp.ones(n, jnp.float64),
+                  jnp.float64)
+    mesh = make_mesh(axis="model")
+    cfg_cls = cq.models.SOLVERS[solver][1]
+    kwargs = {"tol": 1e-8, "max_matvecs": 5000}
+    if solver == "pgd":
+        kwargs["step_size"] = 1e-4
+    cfg = cfg_cls(**kwargs)
+    r_sh = solve_sharded(solver, A, b, mesh, proj=proj, config=cfg)
+    r_1d = cq.models.SOLVERS[solver][0](A, b, proj=proj, config=cfg)
+    assert bool(r_sh.converged) == bool(r_1d.converged)
+    np.testing.assert_allclose(np.asarray(r_sh.x), np.asarray(r_1d.x),
+                               atol=1e-9)
+    if solver in ("bbpgd", "pgd", "mprgp_bb"):
+        assert abs(int(r_sh.matvecs) - int(r_1d.matvecs)) <= 1
+    else:
+        # APGD's Lipschitz backtracking branches on knife-edge float
+        # comparisons; psum reduction-order noise can flip a trial, so only
+        # the rough cost must agree.
+        assert int(r_sh.matvecs) <= 2 * int(r_1d.matvecs)
+
+
+def test_graft_entry():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    xs = out[0]
+    assert xs.shape == args[0].shape[:1] + (args[0].shape[-1],)
+    ge.dryrun_multichip(8)
