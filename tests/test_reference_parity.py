@@ -1,0 +1,224 @@
+"""Numerical parity against the reference CCQPpy implementation.
+
+Runs the ACTUAL reference solvers (numpy f64, imported from
+``/root/reference/src``) and ours (f64, CPU) on identical problems and
+compares solutions, residuals, and matvec counts.
+
+Documented count deltas (SURVEY.md section 7 "matvec-count parity"):
+* BBPGD/BBPGDf: the reference does not count the init-alpha matvec
+  (``solvers.py:635``) — ours is exactly +1 on the same trajectory.
+* MPRGP: ours uses corrected active sets, closed-form feasible steps, and
+  gradient-recurrence BB updates, so only solution-level parity holds (at
+  far fewer matvecs — asserted as an inequality, it is the headline win).
+* SPG: the reference draws from global numpy RNG (``solvers.py:959``) —
+  parity is solution-level.
+"""
+import contextlib
+import io
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/reference/src")
+from ccqppy import solution_spaces as ref_ss  # noqa: E402
+from ccqppy import solvers as ref_solvers  # noqa: E402
+
+import ccqppy_tpu as cq  # noqa: E402
+from ccqppy_tpu.models import (APGDConfig, BBPGDConfig, BBPGDfConfig,
+                               MPRGPConfig, PGDConfig, SPGConfig)  # noqa: E402
+
+TOL = 1e-10
+BUDGET = 5000
+
+
+def readme_problem():
+    A = np.array([[2.0, -1.0, 0.0], [-1.0, 2.0, -1.0], [0.0, -1.0, 2.0]])
+    x_exact = np.array([1.0, 0.0, 1.0])
+    b = -A @ x_exact
+    lb = np.array([-2.0, -2.0, -4.0])
+    ub = np.array([2.0, 2.0, 5.0])
+    return A, b, lb, ub
+
+
+def wishart_problem(n=40, seed=3):
+    rng = np.random.default_rng(seed)
+    G = rng.standard_normal((n, n))
+    A = G @ G.T + 0.5 * n * np.eye(n)
+    x = rng.uniform(-1, 1, n)
+    return A, -A @ x, -np.ones(n), np.ones(n)
+
+
+def tol_for(problem):
+    """1e-10 on the tiny README problem; 1e-8 on the n=40 Wishart (at 1e-10
+    the REFERENCE itself cycles without converging in its 5000-mv budget)."""
+    return 1e-10 if problem is readme_problem else 1e-8
+
+
+def run_ref(solver, A, b, lb, ub):
+    op = ref_ss.BoxProjOp(len(b), lb, ub)
+    with contextlib.redirect_stdout(io.StringIO()):
+        r = solver.solve(A, b, convex_proj_op=op)
+    return (r.solution, r.solution_residual, r.solution_converged,
+            r.solution_num_matrix_vector_multiplications)
+
+
+def run_ours(fn, cfg, A, b, lb, ub, **kw):
+    proj = cq.box(jnp.asarray(lb), jnp.asarray(ub), jnp.float64)
+    r = fn(jnp.asarray(A), jnp.asarray(b), proj=proj, config=cfg, **kw)
+    return (np.asarray(r.x), float(r.residual), bool(r.converged),
+            int(r.matvecs))
+
+
+@pytest.mark.parametrize("problem", [readme_problem, wishart_problem])
+def test_bbpgd_trajectory_parity(problem):
+    """Same trajectory => same solution, same residual, count off by the
+    documented +1 (uncounted reference init matvec)."""
+    A, b, lb, ub = problem()
+    tol = tol_for(problem)
+    x_r, res_r, conv_r, mv_r = run_ref(
+        ref_solvers.CCQPSolverBBPGD(tol, BUDGET), A, b, lb, ub)
+    x_o, res_o, conv_o, mv_o = run_ours(
+        cq.models.bbpgd.solve, BBPGDConfig(tol=tol, max_matvecs=BUDGET),
+        A, b, lb, ub)
+    assert conv_r and conv_o
+    np.testing.assert_allclose(x_o, x_r, atol=1e-9)
+    assert mv_o == mv_r + 1, (mv_o, mv_r)
+    # Residual probes agree to their joint noise floor (the reference's
+    # literal (x - proj(x - gd g))/gd loses ~eps/gd = 2e-10 per coordinate;
+    # ours is exact -- see ops/projections.py).
+    assert res_o < tol and res_r < tol
+    assert abs(res_o - res_r) < 1e-10
+
+
+@pytest.mark.parametrize("problem", [readme_problem, wishart_problem])
+def test_bbpgdf_trajectory_parity(problem):
+    A, b, lb, ub = problem()
+    tol = tol_for(problem)
+    x_r, res_r, conv_r, mv_r = run_ref(
+        ref_solvers.CCQPSolverBBPGDf(tol, BUDGET), A, b, lb, ub)
+    x_o, res_o, conv_o, mv_o = run_ours(
+        cq.models.bbpgd.solve_fallback,
+        BBPGDfConfig(tol=tol, max_matvecs=BUDGET), A, b, lb, ub)
+    assert conv_r and conv_o
+    np.testing.assert_allclose(x_o, x_r, atol=1e-9)
+    assert mv_o == mv_r + 1
+
+
+@pytest.mark.parametrize("problem", [readme_problem, wishart_problem])
+def test_pgd_trajectory_parity(problem):
+    A, b, lb, ub = problem()
+    x_r, res_r, conv_r, mv_r = run_ref(
+        ref_solvers.CCQPSolverPGD(1e-6, BUDGET, 0.01), A, b, lb, ub)
+    x_o, res_o, conv_o, mv_o = run_ours(
+        cq.models.pgd.solve,
+        PGDConfig(tol=1e-6, max_matvecs=BUDGET, step_size=0.01), A, b, lb, ub)
+    assert conv_r == conv_o
+    np.testing.assert_allclose(x_o, x_r, atol=1e-8)
+    assert abs(mv_o - mv_r) <= 2, (mv_o, mv_r)
+
+
+@pytest.mark.parametrize("problem", [readme_problem, wishart_problem])
+def test_apgd_trajectory_parity(problem):
+    A, b, lb, ub = problem()
+    x_r, res_r, conv_r, mv_r = run_ref(
+        ref_solvers.CCQPSolverAPGD(1e-8, BUDGET), A, b, lb, ub)
+    x_o, res_o, conv_o, mv_o = run_ours(
+        cq.models.apgd.solve, APGDConfig(tol=1e-8, max_matvecs=BUDGET),
+        A, b, lb, ub)
+    if conv_r:
+        assert conv_o
+        np.testing.assert_allclose(x_o, x_r, atol=1e-6)
+        assert abs(mv_o - mv_r) <= 3, (mv_o, mv_r)
+
+
+@pytest.mark.parametrize("problem", [readme_problem, wishart_problem])
+def test_apgd_ar_trajectory_parity(problem):
+    """Tol 1e-9, not 1e-10: near 5e-10 the APGD-AR iteration cycles
+    chaotically and the reference only terminates because its literal
+    residual probe is noisy at the ~2e-11 level (verified iterate-by-iterate:
+    trajectories are bitwise-identical through iteration 28, then diverge
+    purely on probe noise).  Above that floor parity is exact."""
+    A, b, lb, ub = problem()
+    # Each tolerance sits just above the level where the REFERENCE AR
+    # iteration cycles without terminating (readme: ~8e-10; wishart: ~6e-8).
+    tol = 1e-9 if problem is readme_problem else 1e-7
+    x_r, res_r, conv_r, mv_r = run_ref(
+        ref_solvers.CCQPSolverAPGDAntiRelaxation(tol, BUDGET), A, b, lb, ub)
+    x_o, res_o, conv_o, mv_o = run_ours(
+        cq.models.apgd.solve_anti_relaxation,
+        APGDConfig(tol=tol, max_matvecs=BUDGET, anti_relaxation=True),
+        A, b, lb, ub)
+    assert conv_r and conv_o
+    np.testing.assert_allclose(x_o, x_r, atol=1e-7)
+    assert abs(mv_o - mv_r) <= 3, (mv_o, mv_r)
+
+
+@pytest.mark.parametrize("problem", [readme_problem, wishart_problem])
+def test_spg_solution_parity(problem):
+    """SPG is randomized (global numpy RNG in the reference) — compare
+    solutions and the order of magnitude of the cost."""
+    A, b, lb, ub = problem()
+    np.random.seed(0)
+    x_r, res_r, conv_r, mv_r = run_ref(
+        ref_solvers.CCQPSolverSPG(1e-8, BUDGET), A, b, lb, ub)
+    import jax
+    x_o, res_o, conv_o, mv_o = run_ours(
+        cq.models.spg.solve, SPGConfig(tol=1e-8, max_matvecs=BUDGET),
+        A, b, lb, ub, key=jax.random.PRNGKey(0))
+    assert conv_r and conv_o
+    np.testing.assert_allclose(x_o, x_r, atol=1e-5)
+    assert mv_o <= 3 * mv_r + 20
+
+
+@pytest.mark.parametrize("problem", [readme_problem, wishart_problem])
+def test_mprgp_solution_parity_and_matvec_win(problem):
+    """MPRGP: same solution, and our re-design must cost at most the
+    reference's matvecs (typically ~3x fewer)."""
+    A, b, lb, ub = problem()
+    tol = tol_for(problem)
+    x_r, res_r, conv_r, mv_r = run_ref(
+        ref_solvers.CCQPSolverMPRGP(tol, BUDGET), A, b, lb, ub)
+    x_o, res_o, conv_o, mv_o = run_ours(
+        cq.models.mprgp.solve, MPRGPConfig(tol=tol, max_matvecs=BUDGET),
+        A, b, lb, ub)
+    assert conv_r and conv_o
+    np.testing.assert_allclose(x_o, x_r, atol=1e-6)
+    assert mv_o <= mv_r, f"ours {mv_o} vs reference {mv_r}"
+
+
+def test_readme_example_matches_reference_numbers():
+    """The reference README quotes SPG on its example problem converging with
+    res < 1e-10 (README.md:57-59).  Ours must too, with a valid solution."""
+    A, b, lb, ub = readme_problem()
+    x_o, res_o, conv_o, mv_o = run_ours(
+        cq.models.spg.solve, SPGConfig(tol=1e-10, max_matvecs=BUDGET),
+        A, b, lb, ub)
+    assert conv_o
+    np.testing.assert_allclose(x_o, [1.0, 0.0, 1.0], atol=1e-6)
+
+
+def test_projection_behavior_parity():
+    """Projection operators agree with the reference on feasible/infeasible
+    points (box, bounds, sphere; cone intentionally differs — reference is
+    bugged)."""
+    rng = np.random.default_rng(0)
+    xs = rng.uniform(-3, 3, (50, 5))
+    lb, ub = -np.ones(5), np.ones(5)
+
+    ref_box = ref_ss.BoxProjOp(5, lb, ub)
+    our_box = cq.box(jnp.asarray(lb), jnp.asarray(ub), jnp.float64)
+    ref_lo = ref_ss.LowerBoundProjOp(5, lb)
+    our_lo = cq.lower_bound(jnp.asarray(lb), jnp.float64)
+    ref_sph = ref_ss.SphereProjOp(5, 1.5)
+    our_ball = cq.ball(1.5, dtype=jnp.float64)
+
+    for x in xs:
+        np.testing.assert_allclose(np.asarray(our_box.project(jnp.asarray(x))),
+                                   ref_box(x), atol=1e-14)
+        np.testing.assert_allclose(np.asarray(our_lo.project(jnp.asarray(x))),
+                                   ref_lo(x), atol=1e-14)
+        np.testing.assert_allclose(np.asarray(our_ball.project(jnp.asarray(x))),
+                                   ref_sph(x), atol=1e-14)
