@@ -62,7 +62,16 @@ class MPRGPConfig(SolverConfig):
 
 @dataclasses.dataclass(frozen=True)
 class MPRGPBBConfig(MPRGPConfig):
-    pass
+    """expansion: second-leg rule of the expansion step.
+    "bb"    (default) — projected step along the full half-point gradient
+            with a BB step size (the disk reference's rule,
+            ``solvers.py:1140-1148``).  Robust on curved sets: on a cone the
+            tangential free gradient has ZERO feasible step, and the docs
+            variant's fixed-step rule 2-cycles there (verified).
+    "fixed" — the docs-snapshot rule x1 = proj(x_half - (2/||A||_inf) psi),
+            sound for polyhedral (box/bound) sets only."""
+
+    expansion: str = "bb"
 
 
 class _State(NamedTuple):
@@ -92,7 +101,8 @@ def _solve(A, b, x0, proj, config, bb_variant: bool):
     res0 = pg_residual(proj, x_init, g_init, config.gd, op)
 
     if bb_variant:
-        # Fixed expansion step alpha_bar = 2 / ||A||_inf (docs MPRGPBB).
+        # Fixed expansion step alpha_bar = 2 / ||A||_inf (docs MPRGPBB);
+        # only used when config.expansion == "fixed".
         alpha_bar = 2.0 / op.inf_norm()
         alpha_bb0 = jnp.asarray(0.0, dtype)   # sentinel: seed on first use
         mv0 = jnp.int32(1)
@@ -141,7 +151,7 @@ def _solve(A, b, x0, proj, config, bb_variant: bool):
                 # 2/||A||_inf leg.  dx = -alpha_f p => A dx = -alpha_f Ap.
                 xh = s.x - alpha_f * s.p
                 gh = s.g - alpha_f * Ap
-                if bb_variant:
+                if bb_variant and config.expansion == "fixed":
                     psih, _ = proj.free_chopped(xh, gh)
                     x1 = proj.project(xh - alpha_bar * psih)
                 else:

@@ -102,6 +102,33 @@ class BlockSparseOperator(LinearOperator):
         nbr, kmax, bs, _ = blocks.shape
         return BlockSparseOperator(blocks, cols.astype(jnp.int32), int(nbr * bs))
 
+    @staticmethod
+    def from_scipy_bsr(mat, dtype=jnp.float32):
+        """Build from a ``scipy.sparse.bsr_matrix`` (or any matrix
+        convertible to one).  Rows are padded to the max blocks-per-row with
+        zero blocks pointing at block-column 0 (a zero block contributes
+        nothing, so any column id is safe)."""
+        import numpy as np
+        import scipy.sparse as sp
+
+        bsr = mat if sp.issparse(mat) and mat.format == "bsr" else \
+            sp.bsr_matrix(mat)
+        bs = bsr.blocksize[0]
+        if bsr.blocksize[0] != bsr.blocksize[1]:
+            raise ValueError("square blocks required")
+        nbr = bsr.shape[0] // bs
+        counts = np.diff(bsr.indptr)
+        kmax = max(int(counts.max()), 1)
+        blocks = np.zeros((nbr, kmax, bs, bs), np.asarray(bsr.data).dtype)
+        cols = np.zeros((nbr, kmax), np.int32)
+        for r in range(nbr):
+            lo, hi = bsr.indptr[r], bsr.indptr[r + 1]
+            k = hi - lo
+            blocks[r, :k] = bsr.data[lo:hi]
+            cols[r, :k] = bsr.indices[lo:hi]
+        return BlockSparseOperator(jnp.asarray(blocks, dtype),
+                                   jnp.asarray(cols), int(nbr * bs))
+
     def matvec(self, x):
         nbr, kmax, bs, _ = self.blocks.shape
         xb = x.reshape(nbr, bs)
