@@ -25,8 +25,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ccqppy_tpu.models.base import (SolverConfig, default_x0, make_result,
-                                    pg_residual)
+from ccqppy_tpu.models.base import (SolverConfig, default_x0, init_trace,
+                                    make_result, pg_residual, record_trace)
 from ccqppy_tpu.ops.linop import as_operator
 from ccqppy_tpu.ops.projections import identity
 
@@ -59,6 +59,7 @@ class _State(NamedTuple):
     # anti-relaxation tracking
     resmin: jax.Array
     xhat: jax.Array
+    trace: jax.Array
 
 
 class _Inner(NamedTuple):
@@ -89,7 +90,7 @@ def solve(A, b, x0=None, proj=None, config: APGDConfig = APGDConfig()):
     s0 = _State(x=x0, y=x0, theta=jnp.asarray(1.0, dtype), L=L0,
                 res=inf, mv=jnp.int32(1), it=jnp.int32(0),
                 done=jnp.asarray(False),
-                resmin=inf, xhat=x0)
+                resmin=inf, xhat=x0, trace=init_trace(config, dtype))
 
     def cond(s):
         return ~s.done
@@ -148,11 +149,11 @@ def solve(A, b, x0=None, proj=None, config: APGDConfig = APGDConfig()):
 
         done = (res < config.tol) | (mv >= config.max_matvecs)
         return _State(x1, y1, th1, L * config.relax, res, mv, s.it + 1, done,
-                      resmin, xhat)
+                      resmin, xhat, record_trace(s.trace, s.it, res))
 
     s = lax.while_loop(cond, body, s0)
     x_out = s.xhat if config.anti_relaxation else s.x
-    return make_result(x_out, s.res, s.mv, s.it, config.max_matvecs)
+    return make_result(x_out, s.res, s.mv, s.it, config.max_matvecs, s.trace)
 
 
 def solve_anti_relaxation(A, b, x0=None, proj=None,

@@ -42,6 +42,7 @@ class SolveResult:
     matvecs: jax.Array    # int32 count of operator applications
     iterations: jax.Array # int32 outer-iteration count
     solve_time: jax.Array # seconds; filled host-side by timed wrappers, else 0
+    trace: jax.Array      # (trace_len,) residual history; (0,) when disabled
 
 
 @dataclasses.dataclass(frozen=True)
@@ -58,6 +59,7 @@ class SolverConfig:
     tol: float = 1e-8
     max_matvecs: int = 10_000
     gd: float = 1e-6
+    trace_len: int = 0
 
 
 def pg_residual(proj, x, g, gd, op=None):
@@ -74,7 +76,7 @@ def pg_residual(proj, x, g, gd, op=None):
     return jnp.sqrt(op.dot(r, r)) / (3.0 * n)
 
 
-def make_result(x, residual, matvecs, iterations, max_matvecs):
+def make_result(x, residual, matvecs, iterations, max_matvecs, trace=None):
     return SolveResult(
         x=x,
         residual=residual,
@@ -82,7 +84,24 @@ def make_result(x, residual, matvecs, iterations, max_matvecs):
         matvecs=jnp.asarray(matvecs, jnp.int32),
         iterations=jnp.asarray(iterations, jnp.int32),
         solve_time=jnp.zeros((), x.dtype),
+        trace=trace if trace is not None else jnp.zeros((0,), x.dtype),
     )
+
+
+def init_trace(config, dtype):
+    """Residual-history buffer: (trace_len,) filled with NaN, or (0,) when
+    disabled.  Updates via ``record_trace`` rely on JAX's drop-out-of-bounds
+    scatter semantics, so the same code path serves both cases."""
+    return jnp.full((config.trace_len,), jnp.nan, dtype)
+
+
+def record_trace(trace, it, res):
+    """Record iteration ``it``'s residual.  Out-of-range iterations are
+    dropped; a disabled (0-length) buffer is returned untouched (the check
+    is static, so the disabled path compiles to nothing)."""
+    if trace.shape[0] == 0:
+        return trace
+    return trace.at[it].set(res, mode="drop")
 
 
 def default_x0(b, x0):

@@ -23,18 +23,28 @@ import jax.numpy as jnp
 from jax import lax
 
 from ccqppy_tpu.models.base import (SolverConfig, default_x0, eps_of,
-                                    make_result, pg_residual)
+                                    init_trace, make_result, pg_residual,
+                                    record_trace)
 from ccqppy_tpu.ops.linop import as_operator
 from ccqppy_tpu.ops.projections import identity
 
 
 @dataclasses.dataclass(frozen=True)
 class BBPGDConfig(SolverConfig):
-    pass
+    """precond: "none" or "jacobi".  Jacobi runs the iteration in the
+    diag(A)-metric: steps x <- proj(x - a D^-1 g) with the BB1 step computed
+    in the scaled inner product (dx.D dx / dx.dg).  Exact for separable sets
+    (the D-metric projection onto a box is still a coordinatewise clip);
+    convergence is still measured with the UNSCALED Eq.25 residual, so
+    stopping semantics match the unpreconditioned solver.  A capability the
+    reference lacks entirely; helps when diag(A) is strongly heterogeneous
+    (e.g. multi-scale contact problems)."""
+
+    precond: str = "none"
 
 
 @dataclasses.dataclass(frozen=True)
-class BBPGDfConfig(SolverConfig):
+class BBPGDfConfig(BBPGDConfig):
     pass
 
 
@@ -50,18 +60,23 @@ class _State(NamedTuple):
     resmin: jax.Array
     xmin: jax.Array
     gmin: jax.Array
+    trace: jax.Array
 
 
-def _init(op, b, x0, proj, config):
+def _init(op, b, x0, proj, config, dinv):
     g0 = op.matvec(x0) + b
     res0 = pg_residual(proj, x0, g0, config.gd, op)
-    gAg = op.dot(g0, op.matvec(g0))
-    alpha0 = op.dot(g0, g0) / gAg
+    # Initial BB step; in the Jacobi metric this is the scaled Rayleigh
+    # quotient (g.D^-1 g) / (D^-1 g . A D^-1 g).
+    s0g = dinv * g0 if dinv is not None else g0
+    gAg = op.dot(s0g, op.matvec(s0g))
+    num = op.dot(g0, s0g) if dinv is not None else op.dot(g0, g0)
+    alpha0 = num / gAg
     inf = jnp.asarray(jnp.inf, b.dtype)
     return _State(
         x=x0, g=g0, alpha=alpha0, res=res0,
         mv=jnp.int32(2), it=jnp.int32(0), done=res0 < config.tol,
-        resmin=inf, xmin=x0, gmin=g0,
+        resmin=inf, xmin=x0, gmin=g0, trace=init_trace(config, b.dtype),
     )
 
 
@@ -70,15 +85,22 @@ def _solve(A, b, x0, proj, config, fallback: bool):
     b = jnp.asarray(b)
     proj = proj if proj is not None else identity()
     x0 = default_x0(b, x0)
-    s0 = _init(op, b, x0, proj, config)
+    if config.precond == "jacobi":
+        diag = op.diagonal()
+        dinv = 1.0 / diag
+    else:
+        diag = dinv = None
+    s0 = _init(op, b, x0, proj, config, dinv)
     tiny = eps_of(b)
 
     def cond(s):
         return ~s.done
 
     def body(s):
-        # Gradient-projection step with the current BB1 step size.
-        x = proj.project(s.x - s.alpha * s.g)
+        # Gradient-projection step with the current BB1 step size
+        # (Jacobi-scaled when preconditioning is on).
+        step_dir = dinv * s.g if dinv is not None else s.g
+        x = proj.project(s.x - s.alpha * step_dir)
         g = op.matvec(x) + b
         mv = s.mv + 1
         res = pg_residual(proj, x, g, config.gd, op)
@@ -98,15 +120,17 @@ def _solve(A, b, x0, proj, config, fallback: bool):
         else:
             resmin, xmin, gmin = s.resmin, s.xmin, s.gmin
 
-        # BB1 step: alpha = dx.dx / (dx.dg + 10 eps)  (``solvers.py:653-656``).
+        # BB1 step: alpha = dx.dx / (dx.dg + 10 eps)  (``solvers.py:653-656``);
+        # in the Jacobi metric the numerator is dx.D dx.
         dx = x - s.x
         dg = g - s.g
-        alpha = op.dot(dx, dx) / (op.dot(dx, dg) + tiny)
+        num = op.dot(dx, diag * dx) if diag is not None else op.dot(dx, dx)
+        alpha = num / (op.dot(dx, dg) + tiny)
         return _State(x, g, alpha, res, mv, s.it + 1, done,
-                      resmin, xmin, gmin)
+                      resmin, xmin, gmin, record_trace(s.trace, s.it, res))
 
     s = lax.while_loop(cond, body, s0)
-    return make_result(s.x, s.res, s.mv, s.it, config.max_matvecs)
+    return make_result(s.x, s.res, s.mv, s.it, config.max_matvecs, s.trace)
 
 
 @partial(jax.jit, static_argnames=("config",))

@@ -46,7 +46,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from ccqppy_tpu.models.base import (SolverConfig, default_x0, eps_of,
-                                    make_result, pg_residual)
+                                    init_trace, make_result, pg_residual,
+                                    record_trace)
 from ccqppy_tpu.ops.linop import as_operator
 from ccqppy_tpu.ops.projections import identity
 
@@ -85,6 +86,7 @@ class _State(NamedTuple):
     mv: jax.Array
     it: jax.Array
     done: jax.Array
+    trace: jax.Array
 
 
 def _solve(A, b, x0, proj, config, bb_variant: bool):
@@ -116,7 +118,8 @@ def _solve(A, b, x0, proj, config, bb_variant: bool):
     psi0, _ = proj.free_chopped(x_init, g_init)
     s0 = _State(x=x_init, g=g_init, p=psi0, alpha_bb=alpha_bb0,
                 x_prev=x_init, g_prev=g_init, res=res0, mv=mv0,
-                it=jnp.int32(0), done=res0 < config.tol)
+                it=jnp.int32(0), done=res0 < config.tol,
+                trace=init_trace(config, dtype))
 
     def cond(s):
         return ~s.done
@@ -196,10 +199,11 @@ def _solve(A, b, x0, proj, config, bb_variant: bool):
                                         proportioning, s)
         res = pg_residual(proj, x1, g1, config.gd, op)
         done = (res < config.tol) | (mv >= config.max_matvecs)
-        return _State(x1, g1, p1, a_bb, s.x, s.g, res, mv, s.it + 1, done)
+        return _State(x1, g1, p1, a_bb, s.x, s.g, res, mv, s.it + 1, done,
+                      record_trace(s.trace, s.it, res))
 
     s = lax.while_loop(cond, body, s0)
-    return make_result(s.x, s.res, s.mv, s.it, config.max_matvecs)
+    return make_result(s.x, s.res, s.mv, s.it, config.max_matvecs, s.trace)
 
 
 @partial(jax.jit, static_argnames=("config",))

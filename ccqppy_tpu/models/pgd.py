@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ccqppy_tpu.models.base import SolverConfig, default_x0, make_result, pg_residual
+from ccqppy_tpu.models.base import (SolverConfig, default_x0, init_trace,
+                                    make_result, pg_residual, record_trace)
 from ccqppy_tpu.ops.linop import as_operator
 from ccqppy_tpu.ops.projections import identity
 
@@ -36,6 +37,7 @@ class _State(NamedTuple):
     mv: jax.Array
     it: jax.Array
     done: jax.Array
+    trace: jax.Array
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -48,7 +50,8 @@ def solve(A, b, x0=None, proj=None, config: PGDConfig = PGDConfig()):
 
     g0 = op.matvec(x0) + b
     res0 = pg_residual(proj, x0, g0, config.gd, op)
-    s0 = _State(x0, g0, res0, jnp.int32(1), jnp.int32(0), res0 < config.tol)
+    s0 = _State(x0, g0, res0, jnp.int32(1), jnp.int32(0), res0 < config.tol,
+                init_trace(config, b.dtype))
 
     def cond(s):
         return ~s.done
@@ -59,7 +62,8 @@ def solve(A, b, x0=None, proj=None, config: PGDConfig = PGDConfig()):
         mv = s.mv + 1
         res = pg_residual(proj, x, g, config.gd, op)
         done = (res < config.tol) | (mv >= config.max_matvecs)
-        return _State(x, g, res, mv, s.it + 1, done)
+        return _State(x, g, res, mv, s.it + 1, done,
+                      record_trace(s.trace, s.it, res))
 
     s = lax.while_loop(cond, body, s0)
-    return make_result(s.x, s.res, s.mv, s.it, config.max_matvecs)
+    return make_result(s.x, s.res, s.mv, s.it, config.max_matvecs, s.trace)

@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ccqppy_tpu.models.base import SolverConfig, default_x0, make_result
+from ccqppy_tpu.models.base import (SolverConfig, default_x0, init_trace,
+                                    make_result, record_trace)
 from ccqppy_tpu.ops.linop import as_operator
 from ccqppy_tpu.ops.projections import identity
 
@@ -57,6 +58,7 @@ class _State(NamedTuple):
     mv: jax.Array
     it: jax.Array
     done: jax.Array
+    trace: jax.Array
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -79,7 +81,8 @@ def solve(A, b, x0=None, proj=None, config: SPGConfig = SPGConfig(),
     s0 = _State(x=x0, g=g0, f=f0, alpha=alpha0, fq=fq0,
                 fq_pos=jnp.int32(1), key=key,
                 res=jnp.asarray(jnp.inf, dtype), mv=jnp.int32(2),
-                it=jnp.int32(0), done=jnp.asarray(False))
+                it=jnp.int32(0), done=jnp.asarray(False),
+                trace=init_trace(config, dtype))
 
     def cond(s):
         return ~s.done
@@ -120,7 +123,7 @@ def solve(A, b, x0=None, proj=None, config: SPGConfig = SPGConfig(),
         fq = jnp.where(done, s.fq, fq)
         alpha = jnp.where(done, s.alpha, alpha)
         return _State(x, g, f, alpha, fq, s.fq_pos + 1, key, res, mv,
-                      s.it + 1, done)
+                      s.it + 1, done, record_trace(s.trace, s.it, res))
 
     s = lax.while_loop(cond, body, s0)
-    return make_result(s.x, s.res, s.mv, s.it, config.max_matvecs)
+    return make_result(s.x, s.res, s.mv, s.it, config.max_matvecs, s.trace)

@@ -58,6 +58,10 @@ class LinearOperator:
         """Global min of a per-shard scalar (identity off-mesh)."""
         return v
 
+    def diagonal(self):
+        """diag(A), used for Jacobi preconditioning."""
+        raise NotImplementedError
+
 
 @register_pytree_dataclass
 class DenseOperator(LinearOperator):
@@ -75,6 +79,9 @@ class DenseOperator(LinearOperator):
 
     def inf_norm(self):
         return jnp.max(jnp.sum(jnp.abs(self.A), axis=-1))
+
+    def diagonal(self):
+        return jnp.diagonal(self.A)
 
 
 @register_pytree_dataclass(meta_fields=("n",))
@@ -144,6 +151,14 @@ class BlockSparseOperator(LinearOperator):
         rowsum = jnp.sum(jnp.abs(self.blocks), axis=(1, 3))  # (nbr, bs)
         return jnp.max(rowsum)
 
+    def diagonal(self):
+        nbr, kmax, bs, _ = self.blocks.shape
+        row_ids = jnp.arange(nbr, dtype=self.cols.dtype)[:, None]
+        on_diag = self.cols == row_ids                       # (nbr, kmax)
+        diag_blocks = jnp.einsum("rkij,rk->rij", self.blocks,
+                                 on_diag.astype(self.blocks.dtype))
+        return jnp.diagonal(diag_blocks, axis1=-2, axis2=-1).reshape(self.n)
+
 
 @register_pytree_dataclass(meta_fields=("axis", "axis_size"))
 class ShardedDenseOperator(LinearOperator):
@@ -183,6 +198,14 @@ class ShardedDenseOperator(LinearOperator):
 
     def reduce_min(self, v):
         return lax.pmin(v, self.axis)
+
+    def diagonal(self):
+        """Local shard of diag(A): row i of the shard owns global row
+        shard_index * n_local + i."""
+        n_local = self.A_local.shape[0]
+        offset = lax.axis_index(self.axis) * n_local
+        cols = offset + jnp.arange(n_local)
+        return self.A_local[jnp.arange(n_local), cols]
 
 
 def as_operator(A) -> LinearOperator:

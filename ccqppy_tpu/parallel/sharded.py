@@ -80,4 +80,4 @@ def SOLVERS_result_specs(vec, repl):
     field is replicated (identical on all shards after psum reductions)."""
     from ccqppy_tpu.models.base import SolveResult
     return SolveResult(x=vec, residual=repl, converged=repl, matvecs=repl,
-                       iterations=repl, solve_time=repl)
+                       iterations=repl, solve_time=repl, trace=repl)
