@@ -24,7 +24,7 @@ sys.path.insert(0, "/root/repo")
 REFERENCE_SOLVES_PER_S = 157.7   # measured: see module docstring
 
 N = 1000
-BATCH = 512
+BATCH = 2048
 TOL = 2e-5
 BUDGET = 500
 SEED = 0
@@ -41,7 +41,7 @@ def main():
     from ccqppy_tpu.utils.random_qp import random_qp_batch
 
     As, bs, _ = random_qp_batch(jax.random.PRNGKey(SEED), BATCH, N,
-                                jnp.float32, diag_boost=1.0)
+                                jnp.float32, diag_boost=1.0, chunk=256)
     As.block_until_ready()
 
     proj = cq.box(-jnp.ones(N), jnp.ones(N))

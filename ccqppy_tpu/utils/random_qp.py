@@ -32,7 +32,21 @@ def random_qp(key, n, dtype=jnp.float32, diag_boost=0.0):
     return A, b, x
 
 
-def random_qp_batch(key, batch, n, dtype=jnp.float32, diag_boost=0.0):
-    """Batch of independent random QPs: A (B,n,n), b (B,n), x_uncon (B,n)."""
+def random_qp_batch(key, batch, n, dtype=jnp.float32, diag_boost=0.0,
+                    chunk=None):
+    """Batch of independent random QPs: A (B,n,n), b (B,n), x_uncon (B,n).
+
+    ``chunk`` generates the batch in pieces of that size to cap peak HBM
+    (the Wishart factor G transiently doubles the footprint of A).  Defaults
+    to the whole batch below 256, else 256.
+    """
     keys = jax.random.split(key, batch)
-    return jax.vmap(lambda k: random_qp(k, n, dtype, diag_boost))(keys)
+    gen = jax.jit(jax.vmap(lambda k: random_qp(k, n, dtype, diag_boost)))
+    if chunk is None:
+        chunk = batch if batch <= 256 else 256
+    if chunk >= batch:
+        return gen(keys)
+    parts = [gen(keys[i:i + chunk]) for i in range(0, batch, chunk)]
+    for p in parts:
+        jax.block_until_ready(p)
+    return tuple(jnp.concatenate([p[i] for p in parts]) for i in range(3))
