@@ -3,7 +3,12 @@
 Workload (matched on both sides):
   B independent QPs, n=1000, A = G G^T + n I (well-conditioned Wishart,
   G ~ N(0,1)^{n x n}), b = -A x_uncon with x_uncon ~ U(-1,1)^n, box [-1,1]^n,
-  solver BBPGDf, tol 2e-5, 500-matvec budget.
+  tol 2e-5, 500-matvec budget.  Solved with the batched PCG face solver
+  (models/pcg.py — branch-free projected CG, exactly one matvec of HBM
+  traffic per iteration) on layout-pinned operands (parallel/mixed.py
+  prepare_dense_batch).  Measured alternatives on the same ensemble: BBPGDf
+  f32 6.0k, bf16+f32 ladder 5.9-6.8k, fused straggler compaction ~= plain
+  (tunnel dispatch overhead); plain PCG 6.4-6.9k solves/s.
 
 Baseline: the reference CCQPpy ``CCQPSolverBBPGDf`` (numpy f64, serial) on the
 IDENTICAL ensemble definition, measured in this container on 2026-08-17:
@@ -36,19 +41,22 @@ def main():
     import numpy as np
 
     import ccqppy_tpu as cq
-    from ccqppy_tpu.models import BBPGDfConfig
-    from ccqppy_tpu.parallel import solve_batched
+    from ccqppy_tpu.models import PCGConfig
+    from ccqppy_tpu.parallel import prepare_dense_batch, solve_batched
     from ccqppy_tpu.utils.random_qp import random_qp_batch
 
     As, bs, _ = random_qp_batch(jax.random.PRNGKey(SEED), BATCH, N,
                                 jnp.float32, diag_boost=1.0, chunk=256)
     As.block_until_ready()
+    # Pin batch-major layout: without it XLA inserts a full relayout copy of
+    # the stacked Hessians INSIDE the jit (+7.8 GB HBM, +16 GB traffic/call).
+    As = prepare_dense_batch(As)
 
     proj = cq.box(-jnp.ones(N), jnp.ones(N))
-    cfg = BBPGDfConfig(tol=TOL, max_matvecs=BUDGET)
+    cfg = PCGConfig(tol=TOL, max_matvecs=BUDGET)
 
     def run(As, bs):
-        return solve_batched("bbpgd_f", As, bs, proj=proj, config=cfg)
+        return solve_batched("pcg", As, bs, proj=proj, config=cfg)
 
     # Warm-up: compile + first full solve (also absorbs any tunnel grant wait).
     r = run(As, bs)
@@ -68,8 +76,8 @@ def main():
     value = BATCH / el
 
     result = {
-        "metric": f"batched {N}-dim box-QP solves/s (BBPGDf, tol {TOL:g}, "
-                  f"B={BATCH}, 1 TPU chip)",
+        "metric": f"batched {N}-dim box-QP solves/s (PCG, "
+                  f"tol {TOL:g}, B={BATCH}, 1 TPU chip)",
         "value": round(value, 1),
         "unit": "solves/s",
         "vs_baseline": round(value / REFERENCE_SOLVES_PER_S, 2),

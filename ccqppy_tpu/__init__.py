@@ -8,9 +8,11 @@ capability surface of the reference CCQPpy library re-designed for TPUs:
                             (dense / block-sparse / mesh-sharded).
 * ``ccqppy_tpu.models``   — the solver suite: PGD, APGD, APGD-AR, BBPGD,
                             BBPGDf, SPG, MPRGP, MPRGP-BB as jit-compiled
-                            ``lax.while_loop`` kernels.
-* ``ccqppy_tpu.parallel`` — scenario batching (vmap/shard_map) and the
-                            row-sharded single-huge-QP path.
+                            ``lax.while_loop`` kernels, plus PCG (projected
+                            CG with active-set restarts, TPU-native).
+* ``ccqppy_tpu.parallel`` — scenario batching (vmap/shard_map), the
+                            row-sharded single-huge-QP path, and the
+                            bf16->f32 mixed-precision ensemble pipeline.
 * ``ccqppy_tpu.utils``    — oracle problems, random QP ensembles, benchmark
                             harness, plotting.
 * ``ccqppy_tpu.compat``   — drop-in class API mirroring the reference
@@ -26,8 +28,9 @@ from ccqppy_tpu import models, ops, parallel, utils  # noqa: F401
 from ccqppy_tpu.models import (SOLVERS, SolveResult, apgd, bbpgd, mprgp, pgd,
                                spg)  # noqa: F401
 from ccqppy_tpu.ops import projections  # noqa: F401
-from ccqppy_tpu.ops.linop import (BlockSparseOperator, DenseOperator,
-                                  ShardedDenseOperator, as_operator)  # noqa: F401
+from ccqppy_tpu.ops.linop import (BlockSparseOperator, CastDense,
+                                  DenseOperator, ShardedDenseOperator,
+                                  as_operator)  # noqa: F401
 from ccqppy_tpu.ops.projections import (BallProj, BlockwiseProj, BoxProj,
                                         IdentityProj, LorentzConeProj,
                                         LowerBoundProj, ProductProj,

@@ -160,6 +160,39 @@ class BlockSparseOperator(LinearOperator):
         return jnp.diagonal(diag_blocks, axis1=-2, axis2=-1).reshape(self.n)
 
 
+@register_pytree_dataclass
+class CastDense(LinearOperator):
+    """Dense operator stored in a low-precision dtype (bfloat16), computed
+    against a low-precision cast of the operand with float32 accumulation.
+
+    This is the cheap rung of the mixed-precision ladder
+    (``parallel/mixed.py``): on TPU the matvec is HBM-bandwidth-bound, so a
+    bfloat16-resident ``A`` halves the bytes per sweep and lowers to a
+    single-pass bf16 x bf16 -> f32 MXU op.  Solutions obtained through this
+    operator carry an operator-error floor in the TRUE residual of roughly
+    ``2^-8 ||A||`` — self-reported residuals keep decreasing below it (the
+    solver sees a consistent, slightly wrong A), so a full-precision polish
+    phase must follow.  Measured on the headline ensemble (n=1000 Wishart,
+    box): true-residual floor ~2e-2 normalized, vs f32's ~1e-7.
+    """
+
+    A: jax.Array          # bfloat16 (or other storage dtype)
+
+    @staticmethod
+    def from_f32(A, dtype=jnp.bfloat16):
+        return CastDense(jnp.asarray(A).astype(dtype))
+
+    def matvec(self, x):
+        return jnp.dot(self.A, x.astype(self.A.dtype),
+                       preferred_element_type=x.dtype)
+
+    def inf_norm(self):
+        return jnp.max(jnp.sum(jnp.abs(self.A.astype(jnp.float32)), axis=-1))
+
+    def diagonal(self):
+        return jnp.diagonal(self.A).astype(jnp.float32)
+
+
 @register_pytree_dataclass(meta_fields=("axis", "axis_size"))
 class ShardedDenseOperator(LinearOperator):
     """Row-block-sharded dense operator for use inside ``shard_map``.

@@ -47,6 +47,15 @@ def _near(x, ref):
     return jnp.abs(x - ref) <= ACTIVE_ATOL + ACTIVE_RTOL * jnp.abs(ref)
 
 
+def _at_bound(x, ref):
+    """Tight at-bound test for ``binding_mask``: a projection lands iterates
+    *exactly* on the bound, so only a few-ulp band is needed — a wide band
+    (``_near``) would freeze genuinely interior coordinates and stall the
+    ``pcg`` face solver."""
+    band = 16 * jnp.finfo(x.dtype).eps * (1 + jnp.abs(ref))
+    return jnp.abs(x - ref) <= band
+
+
 def _safe_div(num, den, fallback):
     """num / den where den != 0, else fallback (no NaN generation)."""
     den_ok = den != 0
@@ -125,6 +134,22 @@ class Projection:
     def max_feasible_step(self, x, p):
         raise NotImplementedError
 
+    def binding_mask(self, x, g):
+        """Per-coordinate indicator (same dtype as x) of coordinates free to
+        move in a face-restricted step from feasible ``x`` with gradient ``g``.
+
+        1 where the coordinate is strictly inside its constraint, or sits on
+        a bound the negative gradient points *away* from (the bound releases);
+        0 where the bound binds.  Used by the ``pcg`` polish solver to run CG
+        inside the current face with exact-gradient carry (models/pcg.py).
+
+        Default (sound for any set, conservative for curved ones): freeze
+        every coordinate the outward normal touches.  Separable sets override
+        with the exact bound/sign test.
+        """
+        n = self.normal(self.project(x))
+        return (n == 0).astype(x.dtype)
+
     def pg_residual_vec(self, x, g, gd):
         """(x - project(x - gd*g)) / gd, literal fallback.
 
@@ -154,6 +179,9 @@ class IdentityProj(Projection):
 
     def free_chopped(self, x, g):
         return g, jnp.zeros_like(g)
+
+    def binding_mask(self, x, g):
+        return jnp.ones_like(x)
 
     def max_feasible_step(self, x, p):
         return jnp.asarray(jnp.inf, x.dtype)
@@ -190,6 +218,11 @@ class LowerBoundProj(Projection):
         chopped = jnp.where(active, jnp.minimum(g, 0), 0)
         return free, chopped
 
+    def binding_mask(self, x, g):
+        # Bound binds iff at the bound AND the gradient pushes outward
+        # (descent -g would decrease x below lb).
+        return jnp.where(_at_bound(x, self.lb) & (g > 0), 0.0, 1.0).astype(x.dtype)
+
     def max_feasible_step(self, x, p):
         # x - a p >= lb  =>  for p_i > 0: a <= (x_i - lb_i) / p_i.
         inf = jnp.asarray(jnp.inf, x.dtype)
@@ -225,6 +258,9 @@ class UpperBoundProj(Projection):
         free = jnp.where(active, 0, g)
         chopped = jnp.where(active, jnp.maximum(g, 0), 0)
         return free, chopped
+
+    def binding_mask(self, x, g):
+        return jnp.where(_at_bound(x, self.ub) & (g < 0), 0.0, 1.0).astype(x.dtype)
 
     def max_feasible_step(self, x, p):
         inf = jnp.asarray(jnp.inf, x.dtype)
@@ -272,6 +308,11 @@ class BoxProj(Projection):
         free = jnp.where(active, 0, g)
         chopped = jnp.where(lo, jnp.minimum(g, 0), 0) + jnp.where(hi, jnp.maximum(g, 0), 0)
         return free, chopped
+
+    def binding_mask(self, x, g):
+        blocked = (_at_bound(x, self.lb) & (g > 0)) | \
+                  (_at_bound(x, self.ub) & (g < 0))
+        return jnp.where(blocked, 0.0, 1.0).astype(x.dtype)
 
     def max_feasible_step(self, x, p):
         inf = jnp.asarray(jnp.inf, x.dtype)
@@ -485,6 +526,10 @@ class BlockwiseProj(Projection):
         free, chopped = self._child_map("free_chopped", x, g)
         return free.reshape(x.shape), chopped.reshape(x.shape)
 
+    def binding_mask(self, x, g):
+        m = self._child_map("binding_mask", x, g)
+        return m.reshape(x.shape)
+
     def max_feasible_step(self, x, p):
         xb, pb = self._blocks(x), self._blocks(p)
         steps = jax.vmap(self.child.max_feasible_step)(xb, pb)
@@ -543,6 +588,11 @@ class ProductProj(Projection):
         free = jnp.concatenate([f for f, _ in fc], axis=-1)
         chopped = jnp.concatenate([ch for _, ch in fc], axis=-1)
         return free, chopped
+
+    def binding_mask(self, x, g):
+        xs, gs = self._slices(x), self._slices(g)
+        parts = [c.binding_mask(xi, gi) for c, xi, gi in zip(self.children, xs, gs)]
+        return jnp.concatenate(parts, axis=-1)
 
     def max_feasible_step(self, x, p):
         xs, ps = self._slices(x), self._slices(p)

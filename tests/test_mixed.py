@@ -1,0 +1,225 @@
+"""Tests for the mixed-precision ensemble pipeline and its building blocks.
+
+Covers the TPU-native extensions with no reference counterpart:
+``Projection.binding_mask`` (ops/projections.py), the low-precision
+``CastDense`` operator (ops/linop.py), the ``pcg`` face solver (models/pcg.py),
+and ``parallel.solve_batched_mixed`` (parallel/mixed.py).  The reference is a
+serial f64 numpy library (SURVEY.md section 6); these paths are design
+headroom, so the tests here are semantic (exactness of gradient carry, mask
+correctness, true-residual convergence) rather than parity checks.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ccqppy_tpu.models import SOLVERS, BBPGDfConfig, PCGConfig
+from ccqppy_tpu.ops import projections as P
+from ccqppy_tpu.ops.linop import CastDense, DenseOperator, as_operator
+from ccqppy_tpu.models.base import pg_residual
+from ccqppy_tpu.parallel import prepare_dense_batch, solve_batched_mixed
+from ccqppy_tpu.utils.random_qp import random_qp_batch
+
+
+# ---------------------------------------------------------------- binding_mask
+
+def test_binding_mask_box_semantics():
+    """Free iff strictly inside, or at a bound the gradient releases."""
+    lb = -jnp.ones(4, jnp.float64)
+    ub = jnp.ones(4, jnp.float64)
+    proj = P.box(lb, ub)
+    #       interior   at lb, g>0 (binds)   at lb, g<0 (releases)   at ub, g<0 (binds)
+    x = jnp.asarray([0.0, -1.0, -1.0, 1.0], jnp.float64)
+    g = jnp.asarray([9.0, 1.0, -1.0, -1.0], jnp.float64)
+    m = np.asarray(proj.binding_mask(x, g))
+    np.testing.assert_array_equal(m, [1.0, 0.0, 1.0, 0.0])
+
+
+def test_binding_mask_bounds_and_identity():
+    x = jnp.asarray([-1.0, 0.0], jnp.float64)
+    g = jnp.asarray([1.0, 1.0], jnp.float64)
+    lo = P.lower_bound(-jnp.ones(2, jnp.float64))
+    np.testing.assert_array_equal(np.asarray(lo.binding_mask(x, g)), [0.0, 1.0])
+    up = P.upper_bound(jnp.zeros(2, jnp.float64))
+    # x[1]=0 at ub with g>0: descent moves down, bound releases.
+    np.testing.assert_array_equal(np.asarray(up.binding_mask(x, g)), [1.0, 1.0])
+    np.testing.assert_array_equal(
+        np.asarray(up.binding_mask(x, -g)), [1.0, 0.0])
+    ident = P.identity()
+    np.testing.assert_array_equal(np.asarray(ident.binding_mask(x, g)), [1.0, 1.0])
+
+
+def test_binding_mask_curved_sets_conservative():
+    """Ball/cone fall back to the normal-vector mask: boundary coordinates
+    the outward normal touches are frozen (sound, conservative)."""
+    ball = P.ball(1.0, dtype=jnp.float64)
+    x_on = jnp.asarray([1.0, 0.0], jnp.float64)       # on the sphere
+    g = jnp.asarray([1.0, 1.0], jnp.float64)
+    m = np.asarray(ball.binding_mask(x_on, g))
+    assert m[0] == 0.0                                 # normal has support here
+    x_in = jnp.asarray([0.3, 0.0], jnp.float64)        # strictly inside
+    np.testing.assert_array_equal(np.asarray(ball.binding_mask(x_in, g)),
+                                  [1.0, 1.0])
+
+
+def test_binding_mask_compositions():
+    box = P.box(-jnp.ones(2, jnp.float64), jnp.ones(2, jnp.float64))
+    x = jnp.asarray([-1.0, 0.0, -1.0, 0.0], jnp.float64)
+    g = jnp.asarray([1.0, 1.0, -1.0, 1.0], jnp.float64)
+    expect = [0.0, 1.0, 1.0, 1.0]
+    bw = P.blockwise(box, 2)
+    np.testing.assert_array_equal(np.asarray(bw.binding_mask(x, g)), expect)
+    pp = P.ProductProj.make((box, 2), (box, 2))
+    np.testing.assert_array_equal(np.asarray(pp.binding_mask(x, g)), expect)
+
+
+# ------------------------------------------------------------------- CastDense
+
+def test_cast_dense_matvec_f32_accumulation():
+    rng = np.random.default_rng(0)
+    A = jnp.asarray(rng.standard_normal((16, 16)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal(16), jnp.float32)
+    op = CastDense.from_f32(A)
+    assert op.A.dtype == jnp.bfloat16
+    y = op.matvec(x)
+    assert y.dtype == jnp.float32
+    y_ref = np.asarray(A, np.float32) @ np.asarray(x, np.float32)
+    # bf16 storage error ~2^-8 relative; accumulation is f32.
+    np.testing.assert_allclose(np.asarray(y), y_ref,
+                               atol=0.05 * np.abs(y_ref).max())
+    assert op.diagonal().dtype == jnp.float32
+    assert float(op.inf_norm()) > 0
+
+
+def test_cast_dense_inside_solver():
+    """A solver iterating against CastDense converges to the *perturbed*
+    problem's solution — the self-reported residual is honest for bf16-A."""
+    rng = np.random.default_rng(1)
+    G = rng.standard_normal((8, 8))
+    A = jnp.asarray(G @ G.T + 8 * np.eye(8), jnp.float32)
+    x_exact = jnp.asarray(rng.uniform(-0.5, 0.5, 8), jnp.float32)
+    b = -A @ x_exact
+    fn, cfg_cls = SOLVERS["bbpgd_f"]
+    # tol must sit above the bf16 floor: each matvec quantizes x to bf16
+    # (~2^-8 relative), so the achievable residual is operator-error bound.
+    r = fn(CastDense.from_f32(A), b, config=cfg_cls(tol=5e-3, max_matvecs=500))
+    assert bool(r.converged)
+    # Close to the f32 solution within the bf16 operator-error floor.
+    assert float(jnp.linalg.norm(r.x - x_exact)) < 0.1 * float(
+        jnp.linalg.norm(x_exact)) + 0.05
+
+
+# ------------------------------------------------------------------------- PCG
+
+def test_pcg_exact_gradient_carry():
+    """After any number of iterations, the carried g equals A x + b to fp
+    roundoff — the property that makes PCG's convergence check honest."""
+    rng = np.random.default_rng(2)
+    G = rng.standard_normal((12, 12))
+    A = jnp.asarray(G @ G.T + 12 * np.eye(12), jnp.float64)
+    x_exact = jnp.asarray(rng.uniform(-2, 2, 12), jnp.float64)
+    b = -A @ x_exact
+    proj = P.box(-jnp.ones(12, jnp.float64), jnp.ones(12, jnp.float64))
+    fn, cfg_cls = SOLVERS["pcg"]
+    r = fn(A, b, proj=proj, config=cfg_cls(tol=1e-10, max_matvecs=500))
+    assert bool(r.converged)
+    g_true = A @ r.x + b
+    res_true = pg_residual(proj, r.x, g_true, 1e-6, as_operator(A))
+    assert float(res_true) < 1e-9
+
+
+def test_pcg_active_box_matches_reference_problem():
+    """The reference's hardest oracle (ActiveBoxConstrainedSPD,
+    problem_suite.py:152-177): box [9,10]^3, solution pinned at [9,9,9]."""
+    A = jnp.asarray([[2., -1, 0], [-1, 2, -1], [0, -1, 2]], jnp.float64)
+    x_exact = jnp.asarray([1.0, 1.0, 1.0], jnp.float64)
+    b = -A @ x_exact
+    proj = P.box(9 * jnp.ones(3, jnp.float64), 10 * jnp.ones(3, jnp.float64))
+    fn, cfg_cls = SOLVERS["pcg"]
+    r = fn(A, b, proj=proj, config=cfg_cls(tol=1e-8, max_matvecs=1000))
+    assert bool(r.converged)
+    np.testing.assert_allclose(np.asarray(r.x), [9.0, 9.0, 9.0], atol=1e-6)
+
+
+def test_pcg_unconstrained_is_cg():
+    """With the identity set, PCG is plain CG: n-dim SPD solves in <= n+1
+    matvecs (Krylov exactness)."""
+    rng = np.random.default_rng(3)
+    n = 10
+    G = rng.standard_normal((n, n))
+    A = jnp.asarray(G @ G.T + n * np.eye(n), jnp.float64)
+    x_exact = jnp.asarray(rng.uniform(-1, 1, n), jnp.float64)
+    b = -A @ x_exact
+    fn, cfg_cls = SOLVERS["pcg"]
+    r = fn(A, b, config=cfg_cls(tol=1e-10, max_matvecs=200))
+    assert bool(r.converged)
+    assert int(r.matvecs) <= n + 2
+    np.testing.assert_allclose(np.asarray(r.x), np.asarray(x_exact), atol=1e-8)
+
+
+# ------------------------------------------------------- solve_batched_mixed
+
+def _small_ensemble(B=12, n=24, seed=0):
+    As, bs, _ = random_qp_batch(jax.random.PRNGKey(seed), B, n, jnp.float32,
+                                diag_boost=1.0)
+    proj = P.box(-0.5 * jnp.ones(n, jnp.float32), 0.5 * jnp.ones(n, jnp.float32))
+    return As, bs, proj
+
+
+def _true_residuals(As, bs, xs, proj):
+    def one(A, b, x):
+        g = jnp.dot(A, x, precision=jax.lax.Precision.HIGHEST) + b
+        return pg_residual(proj, x, g, 1e-6, as_operator(A))
+    return np.asarray(jax.vmap(one)(As, bs, xs))
+
+
+@pytest.mark.parametrize("fixup", [True, False])
+def test_solve_batched_mixed_true_residual(fixup):
+    """Every lane reported converged has a TRUE f32 residual below tol —
+    the pipeline's core guarantee (bf16 phase cannot fake convergence)."""
+    As, bs, proj = _small_ensemble()
+    tol = 1e-5
+    cfg = BBPGDfConfig(tol=tol, max_matvecs=800)
+    r = solve_batched_mixed(As, bs, proj=proj, config=cfg,
+                            phase_a_budget=24, fixup=fixup)
+    conv = np.asarray(r.converged)
+    res_true = _true_residuals(As, bs, r.x, proj)
+    assert res_true[conv].max() < 2 * tol   # fp reorder slack
+    if fixup:
+        assert conv.all(), "fixup must finish every straggler at this scale"
+
+
+def test_solve_batched_mixed_counts_both_phases():
+    """matvecs aggregates phase A + polish: a run given a larger bf16 phase
+    budget reports at least as many matvecs as one whose phase A is capped
+    at a single application (phase A may also stop early on its own tol)."""
+    As, bs, proj = _small_ensemble(B=4, n=16, seed=1)
+    cfg = BBPGDfConfig(tol=1e-5, max_matvecs=600)
+    r_tiny = solve_batched_mixed(As, bs, proj=proj, config=cfg,
+                                 phase_a_budget=1, fixup=False)
+    r = solve_batched_mixed(As, bs, proj=proj, config=cfg,
+                            phase_a_budget=16, phase_a_tol=1e-7, fixup=False)
+    assert np.asarray(r.matvecs).min() >= 2   # both phases applied A
+    assert np.asarray(r.matvecs).sum() > np.asarray(r_tiny.matvecs).sum() - 4 * 16
+
+
+def test_solve_batched_mixed_warm_start():
+    As, bs, proj = _small_ensemble(B=4, n=16, seed=2)
+    cfg = BBPGDfConfig(tol=1e-5, max_matvecs=600)
+    r1 = solve_batched_mixed(As, bs, proj=proj, config=cfg)
+    r2 = solve_batched_mixed(As, bs, proj=proj, config=cfg, x0=r1.x)
+    assert np.asarray(r2.converged).all()
+    assert np.asarray(r2.matvecs).max() < np.asarray(r1.matvecs).max()
+
+
+def test_prepare_dense_batch_cpu_passthrough():
+    """On non-TPU backends prepare_dense_batch is a plain device_put (the
+    layout pinning is TPU-only); values and the bf16 copy round-trip."""
+    rng = np.random.default_rng(4)
+    As = jnp.asarray(rng.standard_normal((3, 8, 8)), jnp.float32)
+    ref = np.asarray(As)
+    out, low = prepare_dense_batch(As, jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+    assert low.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(low, np.float32), ref, atol=0.02)

@@ -94,3 +94,42 @@ def test_graft_entry():
     xs = out[0]
     assert xs.shape == args[0].shape[:1] + (args[0].shape[-1],)
     ge.dryrun_multichip(8)
+
+
+def test_fused_compact_matches_plain(batch_problem):
+    """Single-dispatch straggler compaction (parallel/batch.py
+    solve_batched_fused_compact): same convergence semantics as the plain
+    batched solve — every lane converged, honest residuals, matvec counts
+    accumulated across phases."""
+    from ccqppy_tpu.parallel import solve_batched_fused_compact
+    As, bs, _, proj = batch_problem
+    r_plain = solve_batched("bbpgd", As, bs, proj=proj, config=CFG)
+    mv = np.asarray(r_plain.matvecs)
+    p1 = int(np.median(mv))          # force genuine stragglers into phase 2
+    r = solve_batched_fused_compact("bbpgd", As, bs, p1, proj=proj,
+                                    config=CFG, bucket=8)
+    assert bool(jnp.all(r.converged))
+    np.testing.assert_allclose(np.asarray(r.x), np.asarray(r_plain.x),
+                               atol=1e-6)
+    # Lanes that finished inside phase 1 are bit-identical to plain.
+    done_in_p1 = mv < p1
+    assert done_in_p1.any()
+    np.testing.assert_allclose(np.asarray(r.x)[done_in_p1],
+                               np.asarray(r_plain.x)[done_in_p1],
+                               rtol=0, atol=0)
+
+
+def test_fused_compact_bucket_overflow_host_fallback(batch_problem):
+    """More stragglers than the bucket: host fallback finishes the overflow
+    lanes (converged flags stay honest either way)."""
+    from ccqppy_tpu.parallel import solve_batched_fused_compact
+    As, bs, _, proj = batch_problem
+    r = solve_batched_fused_compact("bbpgd", As, bs, 3, proj=proj,
+                                    config=CFG, bucket=2, host_fallback=True)
+    assert bool(jnp.all(r.converged))
+    r_no = solve_batched_fused_compact("bbpgd", As, bs, 3, proj=proj,
+                                       config=CFG, bucket=2,
+                                       host_fallback=False)
+    conv = np.asarray(r_no.converged)
+    res = np.asarray(r_no.residual)
+    assert (res[conv] < CFG.tol * 1.001).all()
