@@ -76,6 +76,19 @@ def _solve(A, b, x0, proj, config):
     op = as_operator(A)
     b = jnp.asarray(b)
     proj = proj if proj is not None else identity()
+    if not proj.polyhedral:
+        # Curved sets break the two PCG invariants (exact feasible steps and
+        # a meaningful per-coordinate binding mask): from a cone apex every
+        # descent direction can have max_feasible_step 0, stalling the loop
+        # at the initial iterate for the whole budget (measured on the n=10k
+        # cone benchmark).  ``proj``'s structure is trace-static, so this
+        # delegates at compile time to BBPGDf — same signature, same result
+        # semantics, robust on any closed convex set.
+        from ccqppy_tpu.models import bbpgd
+        cfg = bbpgd.BBPGDfConfig(tol=config.tol,
+                                 max_matvecs=config.max_matvecs,
+                                 gd=config.gd, trace_len=config.trace_len)
+        return bbpgd._solve(op, b, x0, proj, cfg, fallback=True)
     x0 = proj.project(default_x0(b, x0))
     tiny = eps_of(b)
 

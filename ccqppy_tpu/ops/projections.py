@@ -150,14 +150,22 @@ class Projection:
         n = self.normal(self.project(x))
         return (n == 0).astype(x.dtype)
 
+    #: True when the set is an intersection of half-spaces aligned with the
+    #: implementation's exact max_feasible_step/binding_mask (identity,
+    #: bounds, box, and compositions thereof).  The ``pcg`` face solver
+    #: requires it: on polyhedral sets a feasible step never needs re-
+    #: projection, so its gradient carry stays exact (models/pcg.py).
+    polyhedral = False
+
     def pg_residual_vec(self, x, g, gd):
         """(x - project(x - gd*g)) / gd, literal fallback.
 
         Rearranged as ``g + (u - project(u)) / gd`` with ``u = x - gd*g`` which
         is exact when the projection is the identity near x and loses at most
-        the projection's own rounding otherwise.  Separable sets override this
-        with a fully closed form.
-        """
+        the projection's own rounding otherwise.  Sets with active curvature
+        override this with a cancellation-free closed form (the f32 noise of
+        the literal form is ~eps*|x|/gd = 0.1 per ACTIVE coordinate at
+        gd=1e-6, which floors large-n residuals around 1e-4)."""
         u = x - gd * g
         return g + (u - self.project(u)) / gd
 
@@ -173,6 +181,8 @@ class IdentityProj(Projection):
     None (solution_spaces.py:100-109); the docs snapshot returns
     ``(g, zeros)`` — we implement the latter (docs solution_spaces.html:1028).
     """
+
+    polyhedral = True
 
     def project(self, x):
         return x
@@ -198,6 +208,7 @@ class LowerBoundProj(Projection):
     """{x : x >= lb}.  Reference: ``LowerBoundProjOp`` (solution_spaces.py:128-201)."""
 
     lb: jax.Array
+    polyhedral = True
 
     def project(self, x):
         return jnp.maximum(x, self.lb)
@@ -243,6 +254,7 @@ class UpperBoundProj(Projection):
     """{x : x <= ub}.  Reference: ``UpperBoundProjOp`` (solution_spaces.py:204-277)."""
 
     ub: jax.Array
+    polyhedral = True
 
     def project(self, x):
         return jnp.minimum(x, self.ub)
@@ -286,6 +298,7 @@ class BoxProj(Projection):
 
     lb: jax.Array
     ub: jax.Array
+    polyhedral = True
 
     def project(self, x):
         return jnp.clip(x, self.lb, self.ub)
@@ -383,6 +396,18 @@ class BallProj(Projection):
         # convention (q >= 0 feasible) requires flipping signs.
         return _min_positive_root(-a, -b, -c, x.dtype)
 
+    def pg_residual_vec(self, x, g, gd):
+        """Cancellation-free closed form: the gd->0 limit of
+        (x - project(x - gd g))/gd is the negated tangent-cone projection of
+        -g.  Interior: g.  Active sphere: remove the inward-pointing normal
+        component, i.e. g - min(<n,g>, 0) n.  Deviation from the literal
+        finite-gd probe is O(gd * |g|^2 / r) (surface curvature) — below any
+        meaningful tolerance, while the literal form's f32 rounding noise is
+        ~0.1 per active coordinate (see Projection.pg_residual_vec)."""
+        n = self.normal(x)
+        ng = jnp.vdot(n, g)
+        return jnp.where(self.is_active(x), g - jnp.minimum(ng, 0) * n, g)
+
     def contains(self, x):
         r = self.radius
         return jnp.linalg.norm(x - self.center) <= r + (ACTIVE_ATOL + ACTIVE_RTOL * jnp.abs(r))
@@ -477,6 +502,21 @@ class LorentzConeProj(Projection):
         zcap = jnp.where(pz > 0, _safe_div(z, pz, inf), inf)
         return jnp.minimum(root, zcap)
 
+    def pg_residual_vec(self, x, g, gd):
+        """Cancellation-free closed form (see BallProj.pg_residual_vec).
+
+        Apex: EXACT for any gd by positive homogeneity of the cone
+        projection — (0 - P(-gd g))/gd = -P(-g).  Surface (z > 0): the
+        tangent cone is the half-space {v : <n, v> <= 0}, so the limit is
+        g - min(<n,g>, 0) n.  Interior: g."""
+        n = self.normal(x)
+        ng = jnp.sum(n * g, axis=-1)
+        surf = g - jnp.minimum(ng, 0)[..., None] * n
+        apex = self.is_apex(x)
+        on_surface = self.is_active(x) & ~apex
+        out = jnp.where(on_surface[..., None], surf, g)
+        return jnp.where(apex[..., None], -self.project(-g), out)
+
     def contains(self, x):
         u, z = self._split(x)
         un = jnp.linalg.norm(u, axis=-1)
@@ -525,6 +565,10 @@ class BlockwiseProj(Projection):
     def free_chopped(self, x, g):
         free, chopped = self._child_map("free_chopped", x, g)
         return free.reshape(x.shape), chopped.reshape(x.shape)
+
+    @property
+    def polyhedral(self):
+        return self.child.polyhedral
 
     def binding_mask(self, x, g):
         m = self._child_map("binding_mask", x, g)
@@ -588,6 +632,10 @@ class ProductProj(Projection):
         free = jnp.concatenate([f for f, _ in fc], axis=-1)
         chopped = jnp.concatenate([ch for _, ch in fc], axis=-1)
         return free, chopped
+
+    @property
+    def polyhedral(self):
+        return all(c.polyhedral for c in self.children)
 
     def binding_mask(self, x, g):
         xs, gs = self._slices(x), self._slices(g)

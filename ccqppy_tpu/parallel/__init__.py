@@ -6,9 +6,10 @@ from ccqppy_tpu.parallel.batch import (make_batch_mesh, solve_batched,
                                        solve_batched_fused_compact,
                                        solve_batched_sharded)
 from ccqppy_tpu.parallel.mixed import prepare_dense_batch, solve_batched_mixed
-from ccqppy_tpu.parallel.sharded import make_mesh, solve_sharded
+from ccqppy_tpu.parallel.sharded import (make_mesh, solve_sharded,
+                                         solve_sharded_blocksparse)
 
 __all__ = ["solve_batched", "solve_batched_compact",
            "solve_batched_fused_compact", "solve_batched_sharded",
            "make_batch_mesh", "solve_batched_mixed", "prepare_dense_batch",
-           "solve_sharded", "make_mesh"]
+           "solve_sharded", "solve_sharded_blocksparse", "make_mesh"]

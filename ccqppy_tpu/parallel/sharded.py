@@ -75,6 +75,54 @@ def solve_sharded(solver, A, b, mesh, axis="model", x0=None, proj=None,
     return shmapped(A, b, x0, proj)
 
 
+def solve_sharded_blocksparse(solver, blocks, cols, b, mesh, axis="model",
+                              x0=None, proj=None, config=None,
+                              proj_sharded=True):
+    """Solve one huge block-sparse QP row-sharded over ``mesh[axis]``.
+
+    The BASELINE.json n=1M configuration: dense storage is impossible at
+    that scale, so A arrives in the ELL layout of ``BlockSparseOperator``
+    (``blocks`` (nbr, k_max, bs, bs), ``cols`` (nbr, k_max) GLOBAL block-
+    column ids) and is row-block-partitioned over the mesh; the solver
+    carries the sharded iterate, matvecs all-gather x over ICI and reduce
+    dot products with psum — see ``ShardedBlockSparseOperator``.
+
+    The number of block rows must divide the mesh axis size, and the
+    projection must be separable or blockwise with blocks aligned to shard
+    boundaries (same constraint as ``solve_sharded``).
+    """
+    from ccqppy_tpu.ops.linop import ShardedBlockSparseOperator
+
+    if isinstance(solver, str):
+        fn = SOLVERS[solver][0]
+    else:
+        fn = solver
+    axis_size = mesh.shape[axis]
+    n = b.shape[-1]
+    nbr = blocks.shape[0]
+    if nbr % axis_size:
+        raise ValueError(f"{nbr} block rows must divide the mesh axis size "
+                         f"{axis_size}")
+
+    vec = PSpec(axis)
+    ell = PSpec(axis, None, None, None)
+    colspec = PSpec(axis, None)
+    repl = PSpec()
+    proj_spec = vec if proj_sharded else repl
+
+    def local_solve(blocks_l, cols_l, b_l, x0_l, proj_l):
+        op = ShardedBlockSparseOperator(blocks_l, cols_l, axis, axis_size, n)
+        return fn(op, b_l, x0=x0_l, proj=proj_l, config=config)
+
+    shmapped = jax.shard_map(
+        local_solve, mesh=mesh,
+        in_specs=(ell, colspec, vec, vec if x0 is not None else repl,
+                  proj_spec),
+        out_specs=SOLVERS_result_specs(vec, repl),
+        check_vma=False)
+    return shmapped(blocks, cols, b, x0, proj)
+
+
 def SOLVERS_result_specs(vec, repl):
     """SolveResult out_specs: the solution vector is sharded, every scalar
     field is replicated (identical on all shards after psum reductions)."""

@@ -133,3 +133,44 @@ def test_fused_compact_bucket_overflow_host_fallback(batch_problem):
     conv = np.asarray(r_no.converged)
     res = np.asarray(r_no.residual)
     assert (res[conv] < CFG.tol * 1.001).all()
+
+
+@pytest.mark.parametrize("solver", ["bbpgd", "mprgp_bb", "pcg"])
+def test_sharded_blocksparse_matches_single_device(solver):
+    """Row-sharded block-sparse solve (the BASELINE n=1M configuration at
+    test scale) matches the single-device BlockSparseOperator solve."""
+    import scipy.sparse as sp
+
+    from ccqppy_tpu.models import SOLVERS
+    from ccqppy_tpu.ops.linop import BlockSparseOperator
+    from ccqppy_tpu.parallel import solve_sharded_blocksparse
+
+    bs_, nb = 4, 16                       # 16 block rows over 8 devices
+    n = bs_ * nb
+    rng = np.random.default_rng(11)
+    D = rng.standard_normal((n, n)) * 0.1
+    A = np.zeros((n, n))
+    for i in range(nb):
+        for j in range(max(0, i - 1), min(nb, i + 2)):
+            A[i*bs_:(i+1)*bs_, j*bs_:(j+1)*bs_] = \
+                D[i*bs_:(i+1)*bs_, j*bs_:(j+1)*bs_]
+    A = 0.5 * (A + A.T) + 2.0 * np.eye(n)
+    x_exact = rng.uniform(-0.5, 0.5, n)
+    b = jnp.asarray(-A @ x_exact)
+    proj = cq.box(-jnp.ones(n, jnp.float64), jnp.ones(n, jnp.float64),
+                  jnp.float64)
+    cfg = SOLVERS[solver][1](tol=1e-10, max_matvecs=5000)
+
+    op = BlockSparseOperator.from_scipy_bsr(
+        sp.bsr_matrix(A, blocksize=(bs_, bs_)), dtype=jnp.float64)
+    fn = SOLVERS[solver][0]
+    r_single = fn(op, b, proj=proj, config=cfg)
+
+    mesh = make_mesh()
+    r_sharded = solve_sharded_blocksparse(solver, op.blocks, op.cols, b,
+                                          mesh, proj=proj, config=cfg)
+    assert bool(r_sharded.converged)
+    np.testing.assert_allclose(np.asarray(r_sharded.x),
+                               np.asarray(r_single.x), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(r_sharded.x), x_exact, atol=1e-6)
+    assert abs(int(r_sharded.matvecs) - int(r_single.matvecs)) <= 2
