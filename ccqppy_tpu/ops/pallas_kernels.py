@@ -1,18 +1,20 @@
 """Pallas TPU kernels for the solver hot path.
 
 The framework's hot op is the batched dense GEMV ``y[b] = A[b] @ x[b]``
-(one per solver iteration per problem).  XLA's stock lowering with
-``Precision.HIGHEST`` already runs at ~742 GB/s on a v5e (≈91% of HBM
-peak, measured via chained in-jit iterations), so the Pallas path exists
-for three reasons:
+(one per solver iteration per problem).  Honest v5e numbers, measured with
+in-jit chained sweeps closed by host scalar materialization (B=1536,
+n=1024, f32; naive timing through the remote-execution tunnel is polluted
+by dispatch caching):
 
-* a guaranteed-good lowering independent of XLA heuristics (the naive
-  ``einsum('bij,bj->bi')`` spelling measured 15-30x slower than the
-  batched-matmul spelling on the same chip);
-* a fusion point for the projected-gradient step epilogue (projection +
-  dot products in the same pass over HBM);
-* bf16-storage variants that halve matvec HBM traffic where tolerances
-  allow.
+* XLA batched-matmul lowering of ``vmap(jnp.dot)``: ~527 GB/s
+* this kernel, row-tiled TR=512:                     ~513 GB/s
+* whole-A-in-VMEM per grid step (previous version):  ~357 GB/s
+* VPU multiply-reduce formulation:                   ~181 GB/s
+
+i.e. XLA's stock lowering is already at the practical ceiling for this
+access pattern (~65% of the 819 GB/s paper peak) and the Pallas path is a
+near-parity fallback that guarantees the good lowering independent of XLA
+heuristics, plus a fusion point for step epilogues (``fused_gradient_step``).
 
 Block-shape notes (Mosaic constraints): the last two block dims must be
 (divisible by 8, divisible by 128) or equal to the array dims — vectors are
@@ -32,17 +34,28 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def _row_tile(n):
+    """Largest of (512, 256, 128) dividing n: ~0.25-2 MB DMA granularity per
+    grid step pipelines well (the whole-A 4 MB granularity measured 30%
+    slower — see module docstring)."""
+    for tr in (512, 256, 128):
+        if n % tr == 0:
+            return tr
+    return n
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def batched_gemv(A, x, interpret=False):
     """y[b] = A[b] @ x[b] for A (B, n, n), x (B, n) -> (B, n).
 
-    One grid step per problem; the full A_b block streams through VMEM
-    (double-buffered by the Pallas pipeline).  n must be a multiple of 128
-    and A_b at most ~8 MB for comfortable VMEM double buffering — callers
-    with odd sizes should pad (see ``padded_batched_gemv``).
+    Grid (B, n/TR): each step streams a (TR, n) row tile of one problem's A
+    through VMEM (double-buffered by the Pallas pipeline) and emits TR
+    outputs via an MXU dot.  n must be a multiple of 128 — callers with odd
+    sizes should pad (see ``padded_batched_gemv``).
     """
     B, n, n2 = A.shape
     assert n == n2 and x.shape == (B, n)
+    tr = _row_tile(n)
 
     def kernel(A_ref, x_ref, o_ref):
         # precision=HIGHEST: the in-kernel MXU dot also defaults to bf16
@@ -54,14 +67,14 @@ def batched_gemv(A, x, interpret=False):
 
     out = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B, n // tr),
         in_specs=[
-            pl.BlockSpec((1, n, n), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, tr, n), lambda b, r: (b, r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, 1, n), lambda b, r: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, tr), lambda b, r: (b, 0, r),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 1, n), jnp.float32),
         cost_estimate=pl.CostEstimate(

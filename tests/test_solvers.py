@@ -131,3 +131,21 @@ def test_spg_reproducible():
     r2 = fn(prob.A, prob.b, proj=prob.proj, config=cfg, key=jax.random.PRNGKey(7))
     np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))
     assert int(r1.matvecs) == int(r2.matvecs)
+
+
+def test_spg_eq25_criterion():
+    """SPG with criterion='eq25' stops on the cross-solver Eq.25 residual;
+    the faithful 'd_norm' default can report success while the Eq.25 residual
+    is still large (measured 5.8e-1 on the n=10k cone benchmark)."""
+    import jax
+    from ccqppy_tpu.models.base import pg_residual
+    from ccqppy_tpu.ops.linop import as_operator
+    fn, cfg_cls = SOLVERS["spg"]
+    prob = problems.box_constrained_spd()
+    cfg = cfg_cls(tol=1e-8, max_matvecs=BUDGET, criterion="eq25")
+    r = fn(prob.A, prob.b, proj=prob.proj, config=cfg,
+           key=jax.random.PRNGKey(0))
+    assert bool(r.converged)
+    g = prob.A @ r.x + prob.b
+    res = float(pg_residual(prob.proj, r.x, g, 1e-6, as_operator(prob.A)))
+    assert res < 1e-8 * 1.01
