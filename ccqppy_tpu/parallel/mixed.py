@@ -79,7 +79,15 @@ def prepare_dense_batch(As, low_dtype=None, donate=True):
 
     fmt = _fmt()
     src = As
-    As = jax.device_put(As, fmt) if fmt is not None else jax.device_put(As)
+    if fmt is not None:
+        # Jitted identity with pinned out_shardings = a DEVICE-side relayout
+        # copy.  ``jax.device_put(on_device_array, fmt)`` routes through the
+        # host on the remote-execution backend — 8 GB over the tunnel,
+        # measured ~19 s per headline chunk vs ~0.1 s here.
+        As = jax.jit(lambda a: a, out_shardings=fmt, donate_argnums=(0,)
+                     if donate else ())(As)
+    else:
+        As = jax.device_put(As)
     if donate and isinstance(src, jax.Array) and src is not As:
         As.block_until_ready()
         try:

@@ -16,6 +16,8 @@ well-conditioned ensembles pass e.g. 1.0.
 """
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
 
@@ -32,6 +34,20 @@ def random_qp(key, n, dtype=jnp.float32, diag_boost=0.0):
     return A, b, x
 
 
+# Jitted generators/concats cached per static signature: a fresh ``jax.jit``
+# per call re-traces and re-compiles every time — measured 19 s per
+# 2048-problem call through the remote-compile path vs 0.31 s cached.
+@lru_cache(maxsize=32)
+def _gen_fn(n, dtype, diag_boost):
+    return jax.jit(jax.vmap(lambda k: random_qp(k, n, dtype, diag_boost)))
+
+
+@lru_cache(maxsize=32)
+def _concat_fn(num_parts):
+    return jax.jit(lambda *ps: tuple(
+        jnp.concatenate([p[i] for p in ps]) for i in range(3)))
+
+
 def random_qp_batch(key, batch, n, dtype=jnp.float32, diag_boost=0.0,
                     chunk=None):
     """Batch of independent random QPs: A (B,n,n), b (B,n), x_uncon (B,n).
@@ -41,12 +57,10 @@ def random_qp_batch(key, batch, n, dtype=jnp.float32, diag_boost=0.0,
     to the whole batch below 256, else 256.
     """
     keys = jax.random.split(key, batch)
-    gen = jax.jit(jax.vmap(lambda k: random_qp(k, n, dtype, diag_boost)))
+    gen = _gen_fn(int(n), jnp.dtype(dtype).name, float(diag_boost))
     if chunk is None:
         chunk = batch if batch <= 256 else 256
     if chunk >= batch:
         return gen(keys)
     parts = [gen(keys[i:i + chunk]) for i in range(0, batch, chunk)]
-    for p in parts:
-        jax.block_until_ready(p)
-    return tuple(jnp.concatenate([p[i] for p in parts]) for i in range(3))
+    return _concat_fn(len(parts))(*parts)
