@@ -28,7 +28,7 @@ def benchmark_single_constraint(num_trials=64, dtype=jnp.float32):
     single-constraint families; extended sizes."""
     bench = BenchmarkRandomCCQP(
         num_trials,
-        solvers=["pgd", "apgd", "apgd_ar", "bbpgd", "bbpgd_f", "spg"],
+        solvers=["pgd", "apgd", "apgd_ar", "bbpgd", "bbpgd_f", "spg", "pcg"],
         proj_factories=default_families(dtype),
         sizes=[8, 32, 128, 512],
         tol=1e-5, max_matvecs=5000, dtype=dtype, diag_boost=1.0)
@@ -46,7 +46,7 @@ def benchmark_disjoint_constraints(num_trials=64, dtype=jnp.float32):
     ConeProjOp could not meaningfully run)."""
     bench = BenchmarkRandomCCQP(
         num_trials,
-        solvers=["apgd_ar", "bbpgd", "bbpgd_f", "spg", "mprgp", "mprgp_bb"],
+        solvers=["apgd_ar", "bbpgd", "bbpgd_f", "spg", "mprgp", "mprgp_bb", "pcg"],
         proj_factories=disjoint_families(block_dim=3, dtype=dtype),
         sizes=[9, 33, 129, 513],
         tol=1e-5, max_matvecs=5000, dtype=dtype, diag_boost=1.0)
