@@ -82,13 +82,16 @@ def _solve(A, b, x0, proj, config):
         # descent direction can have max_feasible_step 0, stalling the loop
         # at the initial iterate for the whole budget (measured on the n=10k
         # cone benchmark).  ``proj``'s structure is trace-static, so this
-        # delegates at compile time to BBPGDf — same signature, same result
-        # semantics, robust on any closed convex set.
-        from ccqppy_tpu.models import bbpgd
-        cfg = bbpgd.BBPGDfConfig(tol=config.tol,
-                                 max_matvecs=config.max_matvecs,
-                                 gd=config.gd, trace_len=config.trace_len)
-        return bbpgd._solve(op, b, x0, proj, cfg, fallback=True)
+        # delegates at compile time to MPRGP-BB — the robust curved-set
+        # solver (100% convergence on the Wishart cone ensembles where the
+        # BB-projection family limit-cycles: projection onto a curved set
+        # breaks the BB secant pair, stalling BBPGD/BBPGDf on 47-89% of
+        # lanes at tol 1e-5; benchmarks/results/disjoint_constraints.json).
+        from ccqppy_tpu.models import mprgp
+        cfg = mprgp.MPRGPBBConfig(tol=config.tol,
+                                  max_matvecs=config.max_matvecs,
+                                  gd=config.gd, trace_len=config.trace_len)
+        return mprgp._solve(op, b, x0, proj, cfg, bb_variant=True)
     x0 = proj.project(default_x0(b, x0))
     tiny = eps_of(b)
 

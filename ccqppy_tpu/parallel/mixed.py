@@ -174,7 +174,7 @@ def _ladder_fn(phase_a_solver, cfg_a, cfg_b, has_x0):
 def solve_batched_mixed(As, bs, proj=None, config=None, *, As_low=None,
                         x0=None, phase_a_tol=5e-3, phase_a_budget=48,
                         phase_a_solver="bbpgd_f", polish_config=None,
-                        fixup=True, fixup_solver="bbpgd_f",
+                        fixup=True, fixup_solver="mprgp_bb",
                         fixup_bucket_min=16):
     """Solve a batch of dense QPs via the bf16 -> f32 precision ladder.
 
@@ -190,7 +190,10 @@ def solve_batched_mixed(As, bs, proj=None, config=None, *, As_low=None,
                    floor-bound regardless of how much lower this is set).
     fixup:         host-side straggler compaction: lanes unconverged after
                    the polish are gathered into a power-of-two bucket and
-                   finished with ``fixup_solver`` at full precision.
+                   finished with ``fixup_solver`` at full precision.  The
+                   default is MPRGP-BB — robust on curved sets where the
+                   BB-projection family limit-cycles (its 3x masked-branch
+                   traffic is irrelevant at bucket scale).
 
     Returns a SolveResult; ``matvecs`` counts BOTH phases' operator
     applications (phase-A applications move half the bytes).  Residuals and

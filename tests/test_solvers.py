@@ -62,7 +62,7 @@ def test_ball_constrained(solver_name):
     np.testing.assert_allclose(np.asarray(r.x), np.asarray(direction), atol=1e-5)
 
 
-@pytest.mark.parametrize("solver_name", ["bbpgd", "bbpgd_f", "mprgp_bb"])
+@pytest.mark.parametrize("solver_name", ["bbpgd", "bbpgd_f", "mprgp_bb", "pcg"])
 def test_cone_constrained(solver_name):
     """Lorentz-cone constrained QP with a known KKT solution: A = I,
     unconstrained optimum outside the cone; the solution is its SOC
@@ -149,3 +149,24 @@ def test_spg_eq25_criterion():
     g = prob.A @ r.x + prob.b
     res = float(pg_residual(prob.proj, r.x, g, 1e-6, as_operator(prob.A)))
     assert res < 1e-8 * 1.01
+
+
+def test_pcg_delegates_to_mprgp_bb_on_curved_sets():
+    """On non-polyhedral sets PCG compiles to MPRGP-BB (models/pcg.py): the
+    BB-projection family limit-cycles on cone ensembles (disjoint study:
+    bbpgd_f 10-53% convergence, mprgp_bb 100%)."""
+    import jax
+    from ccqppy_tpu.models import MPRGPBBConfig, PCGConfig
+    prob_proj = P.blockwise(P.lorentz_cone(1.0, dtype=jnp.float64), 3)
+    rng = np.random.default_rng(5)
+    n = 9
+    G = rng.standard_normal((n, n))
+    A = jnp.asarray(G @ G.T + n * np.eye(n), jnp.float64)
+    b = jnp.asarray(-A @ rng.uniform(-1, 1, n), jnp.float64)
+    r_pcg = SOLVERS["pcg"][0](A, b, proj=prob_proj,
+                              config=PCGConfig(tol=TOL, max_matvecs=BUDGET))
+    r_mb = SOLVERS["mprgp_bb"][0](A, b, proj=prob_proj,
+                                  config=MPRGPBBConfig(tol=TOL, max_matvecs=BUDGET))
+    assert bool(r_pcg.converged)
+    np.testing.assert_array_equal(np.asarray(r_pcg.x), np.asarray(r_mb.x))
+    assert int(r_pcg.matvecs) == int(r_mb.matvecs)
