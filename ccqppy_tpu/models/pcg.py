@@ -128,14 +128,24 @@ def _solve(A, b, x0, proj, config):
         beta = jnp.where(restart, 0.0, rr / (s.rr + tiny))
         p = r + beta * s.p
         res = pg_residual(proj, x, g, config.gd, op)
-        # rr == 0 with res >= tol: every residual coordinate is frozen by a
-        # conservative mask (curved sets) — no further progress is possible.
-        done = (res < config.tol) | (mv >= config.max_matvecs) | (rr <= tiny)
+        # rr == 0 (exactly: r = -m*g is a masked copy, so a fully-frozen mask
+        # zeroes it bit-exactly) with res >= tol: no direction is left to
+        # move in — stalled.  The test must be exact, not a tiny-threshold:
+        # rr is a SQUARED norm, so near-convergence gradients legitimately
+        # pass below any absolute epsilon (a 10*eps threshold falsely
+        # stalled f64 solves one iteration short of a 1e-10 tol).
+        done = (res < config.tol) | (mv >= config.max_matvecs) | (rr == 0)
         return _State(x, g, m, r, p, rr, res, mv, s.it + 1, done,
                       record_trace(s.trace, s.it, res))
 
     s = lax.while_loop(cond, body, s0)
-    return make_result(s.x, s.res, s.mv, s.it, config.max_matvecs, s.trace)
+    result = make_result(s.x, s.res, s.mv, s.it, config.max_matvecs, s.trace)
+    # make_result's budget semantics (converged := mv < max) would mislabel
+    # the stagnation exit above as converged.  Report the honest criterion —
+    # equivalent on the tol/budget exits, False on stagnation — so downstream
+    # fixup passes (parallel/mixed.py selects stragglers by ~converged)
+    # re-solve stalled lanes instead of trusting them.
+    return dataclasses.replace(result, converged=s.res < config.tol)
 
 
 @partial(jax.jit, static_argnames=("config",))

@@ -113,46 +113,19 @@ def solve_batched_compact(solver, A, b, phase1_matvecs, x0=None, proj=None,
     """
     import dataclasses
 
-    import numpy as np
-
     fn = _get_solver(solver)
     cfg1 = dataclasses.replace(config, max_matvecs=int(phase1_matvecs))
     r1 = solve_batched(fn, A, b, x0=x0, proj=proj, config=cfg1, keys=keys,
                        proj_batched=proj_batched)
-    conv = np.asarray(r1.converged)
-    if conv.all():
-        return r1
-
-    idx = np.nonzero(~conv)[0]
-    m = len(idx)
-    bucket = 1 << (m - 1).bit_length()          # next power of two
-    pad = np.concatenate([idx, np.repeat(idx[-1], bucket - m)])
-    pad_j = jnp.asarray(pad)
-
-    take = lambda arr: None if arr is None else jnp.take(arr, pad_j, axis=0)
-    A2, b2 = take(A), take(b)
-    x02 = jnp.take(r1.x, pad_j, axis=0)
-    keys2 = take(keys)
-    proj2 = jax.tree.map(lambda leaf: jnp.take(leaf, pad_j, axis=0), proj) \
-        if proj_batched else proj
-
     remaining = max(int(config.max_matvecs) - int(phase1_matvecs), 16)
     cfg2 = dataclasses.replace(config, max_matvecs=remaining)
-    r2 = solve_batched(fn, A2, b2, x0=x02, proj=proj2, config=cfg2,
-                       keys=keys2, proj_batched=proj_batched)
 
-    # Scatter phase-2 results back over the stragglers.
-    sl = slice(0, m)
-    idx_j = jnp.asarray(idx)
-    x = r1.x.at[idx_j].set(r2.x[sl])
-    residual = r1.residual.at[idx_j].set(r2.residual[sl])
-    converged = r1.converged.at[idx_j].set(r2.converged[sl])
-    matvecs = r1.matvecs.at[idx_j].add(r2.matvecs[sl])
-    iterations = r1.iterations.at[idx_j].add(r2.iterations[sl])
-    from ccqppy_tpu.models.base import SolveResult
-    return SolveResult(x=x, residual=residual, converged=converged,
-                       matvecs=matvecs, iterations=iterations,
-                       solve_time=r1.solve_time)
+    def run2(A2, b2, x02, proj2, keys2):
+        return solve_batched(fn, A2, b2, x0=x02, proj=proj2, config=cfg2,
+                             keys=keys2, proj_batched=proj_batched)
+
+    return host_compact_finish(run2, A, b, r1, proj, keys=keys,
+                               proj_batched=proj_batched, bucket_min=1)
 
 
 def _row_gather(arr, idx):
@@ -162,6 +135,60 @@ def _row_gather(arr, idx):
     +7.8 GB HBM on the headline batch)."""
     return jax.lax.map(
         lambda j: jax.lax.dynamic_slice_in_dim(arr, j, 1, axis=0)[0], idx)
+
+
+def _default_gather_A(A, idx):
+    """Row-gather for a stacked dense A; tree-mapped take for operator
+    pytrees with a leading batch axis on their leaves."""
+    if getattr(A, "ndim", None) == 3:
+        return _row_gather(A, idx)
+    return jax.tree.map(lambda leaf: jnp.take(leaf, idx, axis=0), A)
+
+
+def host_compact_finish(run2, A, b, r1, proj, keys=None, proj_batched=False,
+                        bucket_min=16, gather_A=None):
+    """Shared host-side straggler compaction: gather the unconverged lanes of
+    ``r1`` into a power-of-two bucket, re-solve them warm-started via
+    ``run2(A2, b2, x02, proj2, keys2) -> SolveResult``, scatter the results
+    back.  Used by ``solve_batched_compact``, the fused-compact host
+    fallback, and the mixed-precision ladder's fixup (parallel/mixed.py).
+
+    ``gather_A`` overrides the Hessian gather (e.g. a layout-cached variant);
+    the default uses per-row DMA for (B, n, n) stacks and a tree-mapped take
+    for operator pytrees.
+    """
+    import numpy as np
+
+    from ccqppy_tpu.models.base import SolveResult
+
+    conv = np.asarray(r1.converged)
+    if conv.all():
+        return r1
+    idx = np.nonzero(~conv)[0]
+    m = len(idx)
+    bucket = max(1 << (m - 1).bit_length(), int(bucket_min))
+    pad = np.concatenate([idx, np.repeat(idx[-1], bucket - m)])
+    pad_j = jnp.asarray(pad)
+
+    A2 = (gather_A or _default_gather_A)(A, pad_j)
+    b2 = jnp.take(b, pad_j, axis=0)
+    x02 = jnp.take(r1.x, pad_j, axis=0)
+    keys2 = None if keys is None else jnp.take(keys, pad_j, axis=0)
+    proj2 = jax.tree.map(lambda leaf: jnp.take(leaf, pad_j, axis=0), proj) \
+        if proj_batched else proj
+    r2 = run2(A2, b2, x02, proj2, keys2)
+
+    sl = slice(0, m)
+    idx_j = jnp.asarray(idx)
+    return SolveResult(
+        x=r1.x.at[idx_j].set(r2.x[sl]),
+        residual=r1.residual.at[idx_j].set(r2.residual[sl]),
+        converged=r1.converged.at[idx_j].set(r2.converged[sl]),
+        matvecs=r1.matvecs.at[idx_j].add(r2.matvecs[sl]),
+        iterations=r1.iterations.at[idx_j].add(r2.iterations[sl]),
+        solve_time=r1.solve_time,
+        trace=r1.trace,
+    )
 
 
 @lru_cache(maxsize=64)
@@ -246,37 +273,12 @@ def solve_batched_fused_compact(solver, A, b, phase1_matvecs, x0=None,
         return r
     # Overflow (> bucket stragglers) or genuinely hard lanes: finish the
     # leftovers with the host-side compacted path, warm-started.
-    return _host_finish(solver, A, b, r, proj, cfg2)
-
-
-def _host_finish(solver, A, b, r1, proj, cfg):
-    """Gather still-unconverged lanes, re-solve warm-started, scatter back."""
-    import numpy as np
-
-    from ccqppy_tpu.models.base import SolveResult
-
     fn = _get_solver(solver)
-    idx = np.nonzero(~np.asarray(r1.converged))[0]
-    m = len(idx)
-    bucket = max(1 << (m - 1).bit_length(), 16)
-    pad = np.concatenate([idx, np.repeat(idx[-1], bucket - m)])
-    pad_j = jnp.asarray(pad)
-    A2 = _row_gather(A, pad_j) if A.ndim == 3 else jax.tree.map(
-        lambda leaf: jnp.take(leaf, pad_j, axis=0), A)
-    b2 = jnp.take(b, pad_j, axis=0)
-    x02 = jnp.take(r1.x, pad_j, axis=0)
-    r2 = solve_batched(fn, A2, b2, x0=x02, proj=proj, config=cfg)
-    sl = slice(0, m)
-    idx_j = jnp.asarray(idx)
-    return SolveResult(
-        x=r1.x.at[idx_j].set(r2.x[sl]),
-        residual=r1.residual.at[idx_j].set(r2.residual[sl]),
-        converged=r1.converged.at[idx_j].set(r2.converged[sl]),
-        matvecs=r1.matvecs.at[idx_j].add(r2.matvecs[sl]),
-        iterations=r1.iterations.at[idx_j].add(r2.iterations[sl]),
-        solve_time=r1.solve_time,
-        trace=r1.trace,
-    )
+
+    def run2(A2, b2, x02, proj2, keys2):
+        return solve_batched(fn, A2, b2, x0=x02, proj=proj2, config=cfg2)
+
+    return host_compact_finish(run2, A, b, r, proj)
 
 
 def make_batch_mesh(n_devices=None, axis="batch"):

@@ -25,9 +25,12 @@ attacks both factors:
   device_put time so the copy never exists.
 
 End-to-end on the headline ensemble (B=2048 n=1000 box QPs, tol 2e-5, one
-v5e chip): plain f32 BBPGDf 4.9k solves/s -> layout fix 5.8k -> this
-pipeline ~8k (exact per-lane convergence semantics preserved; every
-reported residual is a true f32 residual).
+v5e chip): plain f32 BBPGDf 4.9k solves/s -> layout fix 6.0k -> this ladder
+5.9-6.8k, tying (not beating) plain f32 PCG because the bf16 batched GEMV
+lowers at only ~425 GB/s effective vs f32's ~530 (docs/precision.md has the
+full accounting).  The ladder's durable win is HBM capacity — a bf16
+ensemble stores 2x the problems per chip.  Per-lane convergence semantics
+are exact: every reported residual is a true f32 residual.
 
 The reference has no counterpart (serial f64 numpy); this is TPU-native
 design headroom, not a port.
@@ -39,10 +42,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ccqppy_tpu.models import SOLVERS, PCGConfig
-from ccqppy_tpu.models.base import SolveResult
+from ccqppy_tpu.parallel.batch import _row_gather, host_compact_finish
 from ccqppy_tpu.ops.linop import CastDense
 
 
@@ -83,9 +85,9 @@ def prepare_dense_batch(As, low_dtype=None, donate=True):
         # Jitted identity with pinned out_shardings = a DEVICE-side relayout
         # copy.  ``jax.device_put(on_device_array, fmt)`` routes through the
         # host on the remote-execution backend — 8 GB over the tunnel,
-        # measured ~19 s per headline chunk vs ~0.1 s here.
-        As = jax.jit(lambda a: a, out_shardings=fmt, donate_argnums=(0,)
-                     if donate else ())(As)
+        # measured ~19 s per headline chunk vs ~0.5 s here.
+        As = _relayout_fn(str(fmt.layout), As.shape, str(As.dtype), donate,
+                          None)(As)
     else:
         As = jax.device_put(As)
     if donate and isinstance(src, jax.Array) and src is not As:
@@ -101,21 +103,36 @@ def prepare_dense_batch(As, low_dtype=None, donate=True):
     # duplicate — a ~4 GB transient that can tip a 16 GB chip into OOM.
     if fmt is not None:
         As.block_until_ready()
-        cast = jax.jit(lambda a: a.astype(low_dtype), out_shardings=fmt)
-        As_low = cast(As)
+        As_low = _relayout_fn(str(fmt.layout), As.shape, str(As.dtype),
+                              False, jnp.dtype(low_dtype).name)(As)
     else:
         As_low = jax.device_put(As.astype(low_dtype))
     return As, As_low
 
 
-def _take_rows(a, i):
-    return jax.lax.map(
-        lambda j: jax.lax.dynamic_slice_in_dim(a, j, 1, axis=0)[0], i)
+# Relayout/cast executables cached per (layout, shape, dtype, donate, cast):
+# a fresh jax.jit closure per call would retrace and re-compile on every
+# chunk of a streamed ensemble (same pathology as _GATHER_CACHE below).
+@functools.lru_cache(maxsize=64)
+def _relayout_fn(layout_str, shape, dtype, donate, cast_to):
+    def _fmt_now():
+        from jax._src.layout import Layout as _Layout
+        from jax.experimental.layout import Format
+        from jax.sharding import SingleDeviceSharding
+        ndim = len(shape)
+        return Format(_Layout(major_to_minor=tuple(range(ndim))),
+                      SingleDeviceSharding(jax.devices()[0]))
+
+    fmt = _fmt_now()
+    body = (lambda a: a) if cast_to is None else (lambda a: a.astype(cast_to))
+    return jax.jit(body, out_shardings=fmt,
+                   donate_argnums=(0,) if donate else ())
 
 
 # Jitted row-gathers keyed by (layout, shape, dtype) so repeat fixups reuse
 # the compiled executable — a fresh ``jax.jit`` per call would recompile
-# every time (~0.4 s through the remote-compile path, measured).
+# every time (~0.4 s through the remote-compile path, measured).  The gather
+# body is the shared layout-preserving per-row DMA (parallel/batch.py).
 _GATHER_CACHE = {}
 
 
@@ -134,8 +151,8 @@ def _gather_rows(arr, idx):
         fmt, key = None, (None, arr.shape, str(arr.dtype))
     fn = _GATHER_CACHE.get(key)
     if fn is None:
-        fn = jax.jit(_take_rows) if fmt is None else \
-            jax.jit(_take_rows, in_shardings=(fmt, None), out_shardings=fmt)
+        fn = jax.jit(_row_gather) if fmt is None else \
+            jax.jit(_row_gather, in_shardings=(fmt, None), out_shardings=fmt)
         _GATHER_CACHE[key] = fn
     return fn(arr, idx)
 
@@ -223,31 +240,13 @@ def solve_batched_mixed(As, bs, proj=None, config=None, *, As_low=None,
         return result
 
     # --- fixup: compact the stragglers, finish at full precision -----------
-    conv = np.asarray(result.converged)
-    if conv.all():
-        return result
-    idx = np.nonzero(~conv)[0]
-    m = len(idx)
-    bucket = max(1 << (m - 1).bit_length(), int(fixup_bucket_min))
-    pad = np.concatenate([idx, np.repeat(idx[-1], bucket - m)])
-    pad_j = jnp.asarray(pad)
-
-    A2 = _gather_rows(As, pad_j)
-    b2 = jnp.take(bs, pad_j, axis=0)
-    x02 = jnp.take(result.x, pad_j, axis=0)
     cfg_f = SOLVERS[fixup_solver][1](tol=config.tol,
                                      max_matvecs=int(config.max_matvecs),
                                      gd=config.gd)
-    r2 = _fixup_fn(fixup_solver, cfg_f)(A2, b2, x02, proj)
 
-    sl = slice(0, m)
-    idx_j = jnp.asarray(idx)
-    return SolveResult(
-        x=result.x.at[idx_j].set(r2.x[sl]),
-        residual=result.residual.at[idx_j].set(r2.residual[sl]),
-        converged=result.converged.at[idx_j].set(r2.converged[sl]),
-        matvecs=result.matvecs.at[idx_j].add(r2.matvecs[sl]),
-        iterations=result.iterations.at[idx_j].add(r2.iterations[sl]),
-        solve_time=result.solve_time,
-        trace=result.trace,
-    )
+    def run2(A2, b2, x02, proj2, keys2):
+        return _fixup_fn(fixup_solver, cfg_f)(A2, b2, x02, proj2)
+
+    return host_compact_finish(run2, As, bs, result, proj,
+                               bucket_min=fixup_bucket_min,
+                               gather_A=_gather_rows)

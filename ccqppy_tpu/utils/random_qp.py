@@ -44,8 +44,12 @@ def _gen_fn(n, dtype, diag_boost):
 
 @lru_cache(maxsize=32)
 def _concat_fn(num_parts):
+    # Donating the parts lets XLA free each source chunk as it is copied
+    # into the output, keeping the peak near 1x the final footprint — the
+    # HBM cap that is chunked generation's whole purpose.
     return jax.jit(lambda *ps: tuple(
-        jnp.concatenate([p[i] for p in ps]) for i in range(3)))
+        jnp.concatenate([p[i] for p in ps]) for i in range(3)),
+        donate_argnums=tuple(range(num_parts)))
 
 
 def random_qp_batch(key, batch, n, dtype=jnp.float32, diag_boost=0.0,

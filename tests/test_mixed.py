@@ -223,3 +223,53 @@ def test_prepare_dense_batch_cpu_passthrough():
     np.testing.assert_array_equal(np.asarray(out), ref)
     assert low.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(low, np.float32), ref, atol=0.02)
+
+
+def test_pcg_stall_reports_not_converged():
+    """A fully-frozen binding mask (x0 inside the at-bound band with an
+    outward gradient) stalls PCG; the stall must report converged=False so
+    fixup passes re-solve the lane (was mislabeled converged=True)."""
+    n = 4
+    A = jnp.eye(n, dtype=jnp.float64)
+    b = jnp.ones(n, jnp.float64)
+    proj = P.lower_bound(jnp.zeros(n, jnp.float64))
+    fn, cfg_cls = SOLVERS["pcg"]
+    # x0 within the f64 at-bound band (16*eps ~ 3.5e-15) but far enough from
+    # the bound that the Eq.25 probe still reports res ~ x0/gd >> tol.
+    x0 = jnp.full(n, 3e-15, jnp.float64)
+    r = fn(A, b, x0=x0, proj=proj, config=cfg_cls(tol=1e-12, max_matvecs=100))
+    assert bool(r.converged) == (float(r.residual) < 1e-12)
+    # The frozen mask means zero progress; the honest flag is what matters.
+    if float(r.residual) >= 1e-12:
+        assert not bool(r.converged)
+
+
+def test_pcg_no_false_stall_near_tolerance():
+    """Near-convergence gradients have tiny (but nonzero) rr; the stall test
+    must not fire there (a 10*eps absolute threshold falsely stalled f64
+    solves one iteration short of tol=1e-10)."""
+    rng = np.random.default_rng(11)
+    n = 64
+    G = rng.standard_normal((n, n)) * 0.1
+    A = jnp.asarray(0.5 * (G + G.T) + 2 * np.eye(n), jnp.float64)
+    x_exact = jnp.asarray(rng.uniform(-0.5, 0.5, n), jnp.float64)
+    b = -A @ x_exact
+    proj = P.box(-jnp.ones(n, jnp.float64), jnp.ones(n, jnp.float64))
+    fn, cfg_cls = SOLVERS["pcg"]
+    # tol 1e-11 sits above the fp floor of the gradient recurrence (~2e-12
+    # on this matrix scale) but far below where a 10*eps absolute rr
+    # threshold falsely stalled.
+    r = fn(A, b, proj=proj, config=cfg_cls(tol=1e-11, max_matvecs=5000))
+    assert bool(r.converged), float(r.residual)
+    assert float(r.residual) < 1e-11
+
+
+def test_solve_batched_compact_straggler_path():
+    """solve_batched_compact's phase-2 path (was: TypeError, missing trace
+    field) returns honest accumulated results."""
+    from ccqppy_tpu.parallel import solve_batched_compact
+    As, bs, proj = _small_ensemble(B=6, n=16, seed=3)
+    cfg = BBPGDfConfig(tol=5e-5, max_matvecs=800)   # above the f32 floor
+    r = solve_batched_compact("bbpgd_f", As, bs, 3, proj=proj, config=cfg)
+    assert np.asarray(r.converged).all()
+    assert np.asarray(r.matvecs).min() > 3   # both phases counted
