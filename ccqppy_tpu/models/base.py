@@ -104,11 +104,23 @@ def record_trace(trace, it, res):
     return trace.at[it].set(res, mode="drop")
 
 
-def default_x0(b, x0):
-    """Reference default: x0 = 0 (``solvers.py:126``)."""
+def default_x0(b, x0, proj=None):
+    """Reference default: x0 = 0 (``solvers.py:126``).
+
+    When ``proj`` is given the start point is projected onto the feasible
+    set, generalizing the reference MPRGP's ``x = proj(x0)`` init
+    (``solvers.py:1063``) to every solver: all iterations keep x feasible
+    anyway, and starting feasible makes the first gradient — and the BB /
+    Lipschitz step-size seeds derived from it — well-scaled even for far
+    infeasible warm starts (important at f32 where a wild first step can
+    stall BB methods just above tolerance)."""
     if x0 is None:
-        return jnp.zeros_like(b)
-    return jnp.asarray(x0, b.dtype)
+        x0 = jnp.zeros_like(b)
+    else:
+        x0 = jnp.asarray(x0, b.dtype)
+    if proj is not None:
+        x0 = proj.project(x0)
+    return x0
 
 
 def eps_of(x):

@@ -84,7 +84,7 @@ def _solve(A, b, x0, proj, config, fallback: bool):
     op = as_operator(A)
     b = jnp.asarray(b)
     proj = proj if proj is not None else identity()
-    x0 = default_x0(b, x0)
+    x0 = default_x0(b, x0, proj)
     if config.precond == "jacobi":
         diag = op.diagonal()
         dinv = 1.0 / diag

@@ -93,7 +93,7 @@ def _solve(A, b, x0, proj, config, bb_variant: bool):
     op = as_operator(A)
     b = jnp.asarray(b)
     proj = proj if proj is not None else identity()
-    x0 = default_x0(b, x0)
+    x0 = default_x0(b, x0, proj)
     dtype = b.dtype
     tiny = eps_of(b)
     gamma2 = jnp.asarray(config.gamma**2, dtype)

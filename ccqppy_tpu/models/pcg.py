@@ -92,7 +92,7 @@ def _solve(A, b, x0, proj, config):
                                   max_matvecs=config.max_matvecs,
                                   gd=config.gd, trace_len=config.trace_len)
         return mprgp._solve(op, b, x0, proj, cfg, bb_variant=True)
-    x0 = proj.project(default_x0(b, x0))
+    x0 = default_x0(b, x0, proj)
     tiny = eps_of(b)
 
     g0 = op.matvec(x0) + b

@@ -45,7 +45,7 @@ def solve(A, b, x0=None, proj=None, config: PGDConfig = PGDConfig()):
     op = as_operator(A)
     b = jnp.asarray(b)
     proj = proj if proj is not None else identity()
-    x0 = default_x0(b, x0)
+    x0 = default_x0(b, x0, proj)
     t = jnp.asarray(config.step_size, b.dtype)
 
     g0 = op.matvec(x0) + b

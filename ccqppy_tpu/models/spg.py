@@ -76,7 +76,7 @@ def solve(A, b, x0=None, proj=None, config: SPGConfig = SPGConfig(),
     op = as_operator(A)
     b = jnp.asarray(b)
     proj = proj if proj is not None else identity()
-    x0 = default_x0(b, x0)
+    x0 = default_x0(b, x0, proj)
     dtype = b.dtype
     if key is None:
         key = jax.random.PRNGKey(0)

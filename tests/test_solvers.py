@@ -109,6 +109,22 @@ def test_warm_start():
     assert bool(r2.converged)
 
 
+@pytest.mark.parametrize("solver_name", list(SOLVERS.keys()))
+def test_infeasible_warm_start(solver_name):
+    """A far-infeasible x0 is projected onto the set at init (generalizing
+    reference MPRGP's x = proj(x0), solvers.py:1063), so every solver
+    converges from it — including BB methods at f32, which otherwise stall
+    just above tolerance when the first gradient is wildly scaled."""
+    fn, cfg_cls = SOLVERS[solver_name]
+    prob = problems.box_constrained_spd()
+    x0 = jnp.full_like(prob.b, 99.0)
+    r = fn(prob.A, prob.b, x0=x0, proj=prob.proj,
+           config=_solver_config(solver_name, cfg_cls))
+    assert bool(r.converged), solver_name
+    err = float(jnp.linalg.norm(r.x - prob.exact_solution))
+    assert err < 1e-4, f"{solver_name}: err={err}"
+
+
 def test_budget_exhaustion_reports_not_converged():
     """Budget semantics kept from the reference (solvers.py:163-164):
     converged := matvecs < max_matvecs."""
