@@ -34,6 +34,8 @@ from ccqppy_tpu.ops.linop import (BlockSparseOperator, CastDense,
 from ccqppy_tpu.ops.projections import (BallProj, BlockwiseProj, BoxProj,
                                         IdentityProj, LorentzConeProj,
                                         LowerBoundProj, ProductProj,
-                                        UpperBoundProj, ball, blockwise, box,
-                                        identity, lorentz_cone, lower_bound,
+                                        SegmentProj, UpperBoundProj, ball,
+                                        blockwise, box, identity,
+                                        lorentz_cone, lower_bound,
+                                        segment_product,
                                         upper_bound)  # noqa: F401

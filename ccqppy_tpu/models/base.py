@@ -37,7 +37,7 @@ class SolveResult:
     """Result pytree of a single QP solve (batched under vmap)."""
 
     x: jax.Array          # solution iterate
-    residual: jax.Array   # final Eq.25 residual (SPG: ||d_k||, see spg.py)
+    residual: jax.Array   # final Eq.25 residual (SPG d_norm mode: ||d_k||)
     converged: jax.Array  # bool — matvec budget not exhausted
     matvecs: jax.Array    # int32 count of operator applications
     iterations: jax.Array # int32 outer-iteration count

@@ -106,18 +106,28 @@ def solve_batched_compact(solver, A, b, phase1_matvecs, x0=None, proj=None,
                their phase-1 iterates, and run with the remaining budget.
 
     Results are bit-valid per lane (converged lanes' residuals are genuine);
-    matvec counts accumulate across phases.  Note the continuation is not
-    trajectory-identical to an uninterrupted solve (BB solvers re-seed their
-    step size at restart) — convergence semantics, not trajectories, are
-    preserved.
+    matvec counts accumulate across phases and per-lane totals respect
+    ``config.max_matvecs``: phase 2 runs with exactly the budget phase 1 left
+    (``max_matvecs - phase1_matvecs``; a lane reaching phase 2 spent the full
+    phase-1 budget).  A solver whose iteration spends several matvecs before
+    its budget check (APGD backtracking) can overshoot by that intra-
+    iteration amount — the same overshoot an uninterrupted solve has.  Note
+    the continuation is not trajectory-identical to an uninterrupted solve
+    (BB solvers re-seed their step size at restart) — convergence semantics,
+    not trajectories, are preserved.
     """
     import dataclasses
 
     fn = _get_solver(solver)
+    remaining = int(config.max_matvecs) - int(phase1_matvecs)
+    if remaining < 4:
+        raise ValueError(
+            f"phase1_matvecs={phase1_matvecs} leaves {remaining} < 4 matvecs "
+            f"for phase 2 of a max_matvecs={config.max_matvecs} budget; pick "
+            "a smaller phase-1 budget (~2x the median solve cost)")
     cfg1 = dataclasses.replace(config, max_matvecs=int(phase1_matvecs))
     r1 = solve_batched(fn, A, b, x0=x0, proj=proj, config=cfg1, keys=keys,
                        proj_batched=proj_batched)
-    remaining = max(int(config.max_matvecs) - int(phase1_matvecs), 16)
     cfg2 = dataclasses.replace(config, max_matvecs=remaining)
 
     def run2(A2, b2, x02, proj2, keys2):
@@ -146,7 +156,7 @@ def _default_gather_A(A, idx):
 
 
 def host_compact_finish(run2, A, b, r1, proj, keys=None, proj_batched=False,
-                        bucket_min=16, gather_A=None):
+                        bucket_min=16, gather_A=None, eligible=None):
     """Shared host-side straggler compaction: gather the unconverged lanes of
     ``r1`` into a power-of-two bucket, re-solve them warm-started via
     ``run2(A2, b2, x02, proj2, keys2) -> SolveResult``, scatter the results
@@ -155,16 +165,20 @@ def host_compact_finish(run2, A, b, r1, proj, keys=None, proj_batched=False,
 
     ``gather_A`` overrides the Hessian gather (e.g. a layout-cached variant);
     the default uses per-row DMA for (B, n, n) stacks and a tree-mapped take
-    for operator pytrees.
+    for operator pytrees.  ``eligible`` (bool mask, default ``~converged``)
+    restricts which lanes are re-solved — callers with a per-lane budget
+    contract pass ``~converged & (matvecs < budget)`` so exhausted lanes are
+    not re-run.
     """
     import numpy as np
 
     from ccqppy_tpu.models.base import SolveResult
 
     conv = np.asarray(r1.converged)
-    if conv.all():
+    mask = ~conv if eligible is None else np.asarray(eligible)
+    if not mask.any():
         return r1
-    idx = np.nonzero(~conv)[0]
+    idx = np.nonzero(mask)[0]
     m = len(idx)
     bucket = max(1 << (m - 1).bit_length(), int(bucket_min))
     pad = np.concatenate([idx, np.repeat(idx[-1], bucket - m)])
@@ -180,6 +194,12 @@ def host_compact_finish(run2, A, b, r1, proj, keys=None, proj_batched=False,
 
     sl = slice(0, m)
     idx_j = jnp.asarray(idx)
+    # Re-solved lanes report their phase-2 residual history (the tail then
+    # agrees with the reported final residual); phase-1 traces of those lanes
+    # are replaced, not appended — trace buffers are fixed-length.
+    trace = r1.trace
+    if getattr(trace, "ndim", 0) >= 2 and trace.shape[-1] > 0:
+        trace = trace.at[idx_j].set(r2.trace[sl])
     return SolveResult(
         x=r1.x.at[idx_j].set(r2.x[sl]),
         residual=r1.residual.at[idx_j].set(r2.residual[sl]),
@@ -187,7 +207,7 @@ def host_compact_finish(run2, A, b, r1, proj, keys=None, proj_batched=False,
         matvecs=r1.matvecs.at[idx_j].add(r2.matvecs[sl]),
         iterations=r1.iterations.at[idx_j].add(r2.iterations[sl]),
         solve_time=r1.solve_time,
-        trace=r1.trace,
+        trace=trace,
     )
 
 
@@ -217,8 +237,12 @@ def _fused_compact_fn(solver, cfg1, cfg2, bucket, has_x0):
                                             config=cfg2))(A2, b2, x02)
 
         # Scatter phase-2 results over the genuine stragglers; padding lanes
-        # point out of bounds and drop.
+        # point out of bounds and drop.  Re-solved lanes report their phase-2
+        # residual history so the trace tail matches the final residual.
         sc = jnp.where(valid, idx, B)
+        trace = r1.trace
+        if getattr(trace, "ndim", 0) >= 2 and trace.shape[-1] > 0:
+            trace = trace.at[sc].set(r2.trace, mode="drop")
         return SolveResult(
             x=r1.x.at[sc].set(r2.x, mode="drop"),
             residual=r1.residual.at[sc].set(r2.residual, mode="drop"),
@@ -226,7 +250,7 @@ def _fused_compact_fn(solver, cfg1, cfg2, bucket, has_x0):
             matvecs=r1.matvecs.at[sc].add(r2.matvecs, mode="drop"),
             iterations=r1.iterations.at[sc].add(r2.iterations, mode="drop"),
             solve_time=r1.solve_time,
-            trace=r1.trace,
+            trace=trace,
         )
 
     return jax.jit(run)
@@ -261,8 +285,12 @@ def solve_batched_fused_compact(solver, A, b, phase1_matvecs, x0=None,
     if not isinstance(solver, str):
         raise TypeError("solve_batched_fused_compact takes a solver NAME "
                         "(the jitted pipeline is cached per name+config)")
+    remaining = int(config.max_matvecs) - int(phase1_matvecs)
+    if remaining < 4:
+        raise ValueError(
+            f"phase1_matvecs={phase1_matvecs} leaves {remaining} < 4 matvecs "
+            f"for phase 2 of a max_matvecs={config.max_matvecs} budget")
     cfg1 = dataclasses.replace(config, max_matvecs=int(phase1_matvecs))
-    remaining = max(int(config.max_matvecs) - int(phase1_matvecs), 16)
     cfg2 = dataclasses.replace(config, max_matvecs=remaining)
     run = _fused_compact_fn(solver, cfg1, cfg2, int(bucket), x0 is not None)
     r = run(A, b, x0, proj)
@@ -271,14 +299,20 @@ def solve_batched_fused_compact(solver, A, b, phase1_matvecs, x0=None,
     conv = np.asarray(r.converged)
     if conv.all():
         return r
-    # Overflow (> bucket stragglers) or genuinely hard lanes: finish the
-    # leftovers with the host-side compacted path, warm-started.
+    # Overflow lanes (> bucket stragglers missed the fused phase 2 and spent
+    # only the phase-1 budget): finish them with the host-side compacted
+    # path, warm-started, on the remaining budget.  Lanes that already
+    # exhausted the FULL budget keep their honest converged=False — re-running
+    # them would break the per-lane matvec contract for no benefit.
     fn = _get_solver(solver)
+    eligible = ~conv & (np.asarray(r.matvecs) < int(config.max_matvecs))
+    if not eligible.any():
+        return r
 
     def run2(A2, b2, x02, proj2, keys2):
         return solve_batched(fn, A2, b2, x0=x02, proj=proj2, config=cfg2)
 
-    return host_compact_finish(run2, A, b, r, proj)
+    return host_compact_finish(run2, A, b, r, proj, eligible=eligible)
 
 
 def make_batch_mesh(n_devices=None, axis="batch"):

@@ -210,7 +210,14 @@ def solve_batched_mixed(As, bs, proj=None, config=None, *, As_low=None,
                    finished with ``fixup_solver`` at full precision.  The
                    default is MPRGP-BB — robust on curved sets where the
                    BB-projection family limit-cycles (its 3x masked-branch
-                   traffic is irrelevant at bucket scale).
+                   traffic is irrelevant at bucket scale).  DOCUMENTED
+                   OVERSPEND: a lane entering fixup already exhausted
+                   ``config.max_matvecs``; the fixup is a rescue pass with a
+                   fresh budget of the same size (curved-set lanes frozen by
+                   PCG's conservative mask burned their budget without
+                   progress).  Reported ``matvecs`` honestly include the
+                   overspend; pass ``fixup=False`` for a strict budget
+                   contract.
 
     Returns a SolveResult; ``matvecs`` counts BOTH phases' operator
     applications (phase-A applications move half the bytes).  Residuals and
@@ -227,7 +234,12 @@ def solve_batched_mixed(As, bs, proj=None, config=None, *, As_low=None,
                                        max_matvecs=int(phase_a_budget),
                                        gd=config.gd)
     if polish_config is None:
-        budget_b = max(int(config.max_matvecs) - int(phase_a_budget), 16)
+        budget_b = int(config.max_matvecs) - int(phase_a_budget)
+        if budget_b < 4:
+            raise ValueError(
+                f"phase_a_budget={phase_a_budget} leaves {budget_b} < 4 "
+                f"matvecs for the polish phase of a "
+                f"max_matvecs={config.max_matvecs} budget")
         polish_config = PCGConfig(tol=config.tol, max_matvecs=budget_b,
                                   gd=config.gd, trace_len=config.trace_len)
 

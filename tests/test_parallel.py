@@ -135,6 +135,50 @@ def test_fused_compact_bucket_overflow_host_fallback(batch_problem):
     assert (res[conv] < CFG.tol * 1.001).all()
 
 
+def test_compact_budget_honest_and_trace_scatter(batch_problem):
+    """Two-phase compaction respects the per-lane matvec budget (phase 2 gets
+    exactly what phase 1 left) and re-solved lanes report their phase-2
+    residual trace, so the trace tail agrees with the final residual."""
+    import dataclasses
+
+    from ccqppy_tpu.parallel import solve_batched_compact
+    As, bs, _, proj = batch_problem
+    cfg = dataclasses.replace(CFG, trace_len=512)
+    r_plain = solve_batched("bbpgd", As, bs, proj=proj, config=cfg)
+    p1 = int(np.median(np.asarray(r_plain.matvecs)))
+    r = solve_batched_compact("bbpgd", As, bs, p1, proj=proj, config=cfg)
+    assert bool(jnp.all(r.converged))
+    assert (np.asarray(r.matvecs) <= cfg.max_matvecs).all()
+    # Trace tail of every lane must match its reported final residual: the
+    # last finite trace entry is the residual the loop exited on.
+    traces = np.asarray(r.trace)
+    res = np.asarray(r.residual)
+    for i in range(traces.shape[0]):
+        finite = traces[i][np.isfinite(traces[i])]
+        if finite.size:
+            np.testing.assert_allclose(finite[-1], res[i], rtol=1e-6)
+
+
+def test_compact_rejects_budgetless_phase2(batch_problem):
+    from ccqppy_tpu.parallel import (solve_batched_compact,
+                                     solve_batched_fused_compact)
+    As, bs, _, proj = batch_problem
+    with pytest.raises(ValueError, match="phase1_matvecs"):
+        solve_batched_compact("bbpgd", As, bs, CFG.max_matvecs, proj=proj,
+                              config=CFG)
+    with pytest.raises(ValueError, match="phase1_matvecs"):
+        solve_batched_fused_compact("bbpgd", As, bs, CFG.max_matvecs,
+                                    proj=proj, config=CFG)
+
+
+def test_fused_compact_budget_honest(batch_problem):
+    from ccqppy_tpu.parallel import solve_batched_fused_compact
+    As, bs, _, proj = batch_problem
+    r = solve_batched_fused_compact("bbpgd", As, bs, 3, proj=proj,
+                                    config=CFG, bucket=2, host_fallback=True)
+    assert (np.asarray(r.matvecs) <= CFG.max_matvecs).all()
+
+
 @pytest.mark.parametrize("solver", ["bbpgd", "mprgp_bb", "pcg"])
 def test_sharded_blocksparse_matches_single_device(solver):
     """Row-sharded block-sparse solve (the BASELINE n=1M configuration at

@@ -41,6 +41,11 @@ def ops(dim=6):
             (P.ball(1.0, dtype=DT), 2),
             (P.lorentz_cone(0.9, dtype=DT), 2),
         ),
+        "segment": P.segment_product(
+            (P.box(lb[:2], ub[:2]), 2),
+            (P.ball(1.0, dtype=DT), 2),
+            (P.lorentz_cone(0.9, dtype=DT), 2),
+        ),
     }
 
 
@@ -176,3 +181,102 @@ def test_ops_vmap():
         single = jnp.stack([op.project(x) for x in xs])
         np.testing.assert_allclose(np.asarray(batched), np.asarray(single),
                                    atol=1e-12, err_msg=name)
+
+
+# ------------------------------------------------------------- SegmentProj
+def _mixed_blocks(num_cones=5, num_boxes=4, seed=3):
+    """Interleaved heterogeneous (op, dim) blocks with per-block parameters,
+    as a realistic mixed contact problem composes them."""
+    rng = np.random.default_rng(seed)
+    blocks = []
+    for i in range(max(num_cones, num_boxes)):
+        if i < num_cones:
+            blocks.append((P.lorentz_cone(float(rng.uniform(0.5, 1.5)),
+                                          dtype=DT), 3))
+        if i < num_boxes:
+            lb = jnp.asarray(rng.uniform(-2, 0, 2), DT)
+            ub = jnp.asarray(rng.uniform(0.5, 2, 2), DT)
+            blocks.append((P.box(lb, ub), 2))
+        if i == 1:
+            blocks.append((P.identity(), 2))
+    return blocks
+
+
+def test_segment_matches_product_bitwise():
+    """SegmentProj is numerically identical to the unrolled ProductProj on
+    mixed interleaved cone/box/identity blocks with per-block parameters."""
+    blocks = _mixed_blocks()
+    dim = sum(d for _, d in blocks)
+    seg = P.segment_product(*blocks)
+    prod = P.ProductProj.make(*blocks)
+    gd = 1e-6
+    for x in sample(dim, 20, seed=5):
+        g = sample(dim, 1, seed=int(np.asarray(x)[0] * 1e3) % 977 + 1)[0]
+        np.testing.assert_array_equal(np.asarray(seg.project(x)),
+                                      np.asarray(prod.project(x)))
+        np.testing.assert_array_equal(np.asarray(seg.normal(x)),
+                                      np.asarray(prod.normal(x)))
+        fs, cs = seg.free_chopped(x, g)
+        fp, cp = prod.free_chopped(x, g)
+        np.testing.assert_array_equal(np.asarray(fs), np.asarray(fp))
+        np.testing.assert_array_equal(np.asarray(cs), np.asarray(cp))
+        np.testing.assert_array_equal(np.asarray(seg.binding_mask(x, g)),
+                                      np.asarray(prod.binding_mask(x, g)))
+        xf = seg.project(x)
+        np.testing.assert_array_equal(
+            np.asarray(seg.max_feasible_step(xf, g)),
+            np.asarray(prod.max_feasible_step(xf, g)))
+        np.testing.assert_array_equal(
+            np.asarray(seg.pg_residual_vec(x, g, gd)),
+            np.asarray(prod.pg_residual_vec(x, g, gd)))
+        assert bool(seg.contains(x)) == bool(prod.contains(x))
+    assert seg.polyhedral == prod.polyhedral
+    # Grouping happened: 3 groups (cone/box/identity), not one per block.
+    assert len(seg.children) == 3
+    assert seg.counts == (5, 4, 1)
+
+
+def test_segment_constant_trace_size():
+    """The trace/HLO size is constant in the number of blocks: a 1000-block
+    composition jits in about the same time as a 10-block one (ProductProj
+    would emit 100x the HLO).  Guard: the big jit must stay under a loose
+    wall bound so a regression to per-block unrolling fails loudly."""
+    import time
+
+    def build(k):
+        blocks = []
+        for i in range(k):
+            blocks.append((P.lorentz_cone(1.0 + 1e-3 * i, dtype=DT), 3))
+        return P.segment_product(*blocks)
+
+    small, big = build(10), build(1000)
+    x_s = sample(30, 1, seed=7)[0]
+    x_b = sample(3000, 1, seed=7)[0]
+    jax.jit(small.project)(x_s).block_until_ready()   # warm the jit machinery
+    t0 = time.time()
+    jax.jit(big.project)(x_b).block_until_ready()
+    elapsed = time.time() - t0
+    assert elapsed < 10.0, f"1000-block project jit took {elapsed:.1f}s"
+
+
+def test_segment_in_solver():
+    """A mixed-segment problem solves end-to-end (MPRGP-BB) and matches the
+    same solve through ProductProj."""
+    import ccqppy_tpu as cq
+    from ccqppy_tpu.models import MPRGPBBConfig
+
+    blocks = _mixed_blocks(num_cones=3, num_boxes=3)
+    dim = sum(d for _, d in blocks)
+    seg = P.segment_product(*blocks)
+    prod = P.ProductProj.make(*blocks)
+    rng = np.random.default_rng(9)
+    G = rng.standard_normal((dim, dim))
+    A = jnp.asarray(G @ G.T + dim * np.eye(dim), DT)
+    b = jnp.asarray(-np.asarray(A) @ rng.uniform(-1, 1, dim), DT)
+    cfg = MPRGPBBConfig(tol=1e-8, max_matvecs=2000)
+    r_seg = cq.models.mprgp.solve_bb(A, b, proj=seg, config=cfg)
+    r_prod = cq.models.mprgp.solve_bb(A, b, proj=prod, config=cfg)
+    assert bool(r_seg.converged) and bool(r_prod.converged)
+    np.testing.assert_allclose(np.asarray(r_seg.x), np.asarray(r_prod.x),
+                               atol=1e-10)
+    assert int(r_seg.matvecs) == int(r_prod.matvecs)

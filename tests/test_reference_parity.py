@@ -166,7 +166,8 @@ def test_spg_solution_parity(problem):
         ref_solvers.CCQPSolverSPG(1e-8, BUDGET), A, b, lb, ub)
     import jax
     x_o, res_o, conv_o, mv_o = run_ours(
-        cq.models.spg.solve, SPGConfig(tol=1e-8, max_matvecs=BUDGET),
+        cq.models.spg.solve,
+        SPGConfig(tol=1e-8, max_matvecs=BUDGET, criterion="d_norm"),
         A, b, lb, ub, key=jax.random.PRNGKey(0))
     assert conv_r and conv_o
     np.testing.assert_allclose(x_o, x_r, atol=1e-5)
@@ -194,7 +195,8 @@ def test_readme_example_matches_reference_numbers():
     res < 1e-10 (README.md:57-59).  Ours must too, with a valid solution."""
     A, b, lb, ub = readme_problem()
     x_o, res_o, conv_o, mv_o = run_ours(
-        cq.models.spg.solve, SPGConfig(tol=1e-10, max_matvecs=BUDGET),
+        cq.models.spg.solve,
+        SPGConfig(tol=1e-10, max_matvecs=BUDGET, criterion="d_norm"),
         A, b, lb, ub)
     assert conv_o
     np.testing.assert_allclose(x_o, [1.0, 0.0, 1.0], atol=1e-6)

@@ -150,9 +150,9 @@ def test_spg_reproducible():
 
 
 def test_spg_eq25_criterion():
-    """SPG with criterion='eq25' stops on the cross-solver Eq.25 residual;
-    the faithful 'd_norm' default can report success while the Eq.25 residual
-    is still large (measured 5.8e-1 on the n=10k cone benchmark)."""
+    """SPG's default criterion='eq25' stops on the cross-solver Eq.25
+    residual; the faithful opt-in 'd_norm' can report success while the Eq.25
+    residual is still large (measured 5.8e-1 on the n=10k cone benchmark)."""
     import jax
     from ccqppy_tpu.models.base import pg_residual
     from ccqppy_tpu.ops.linop import as_operator
