@@ -55,7 +55,63 @@ from ccqppy_tpu.ops.projections import identity
 
 @dataclasses.dataclass(frozen=True)
 class PCGConfig(SolverConfig):
-    pass
+    """precond: "none" or "jacobi".  Jacobi preconditions the face-restricted
+    CG with M = diag(A): the recurrence carries z = M^-1 r and conjugates in
+    the M-inner product (beta = r1.z1 / r.z) — textbook preconditioned CG
+    restricted to the current free set.  The preconditioner application is
+    elementwise (free — no extra HBM sweep of A), active-set logic and the
+    Eq.25 stopping residual are untouched, so convergence *semantics* match
+    the unpreconditioned solver while the sweep COUNT drops on problems with
+    strongly heterogeneous diag(A) (measured, f64 n=48 1e3-condition-spread
+    diagonal family at tol 1e-8: 94 -> 6 matvecs; BBPGD 363 -> 7 on the
+    same problem; parity on flat-diagonal Wishart —
+    tests/test_solvers.py::test_jacobi_precond_matvec_win).
+    No reference counterpart (SURVEY.md section 5.6).
+
+    refresh_every: 0 (default) = plain single-precision PCG.  > 0 enables
+    MIXED-PRECISION RESIDUAL REPLACEMENT: CG sweeps ride ``op.matvec`` (for
+    ``MixedPrecDense``, the bfloat16-resident copy — half the HBM bytes,
+    measured 1.8x sweep rate on v5e) in segments of at most ``refresh_every``
+    iterations; at each segment end the gradient is recomputed with
+    ``op.matvec_exact`` (f32, HIGHEST), the TRUE Eq.25 residual is evaluated,
+    and CG restarts from the exact gradient.  This is textbook iterative
+    refinement in correction form: within a segment the carried gradient
+    drifts from the truth by (A - A_low)(x - x_seg_start) — proportional to
+    the segment's own step, so each refresh cycle reduces the TRUE residual
+    by a factor ~ ||A - A_low|| ||A^-1|| and convergence goes arbitrarily far
+    below the bf16 operator floor.  Every reported residual and the converged
+    flag come from exact-gradient evaluations only.  With a single-precision
+    operator the path is valid but pointless (matvec_exact == matvec).
+
+    inner_margin: segment early-stop factor — a segment ends when its
+    (perturbed-system) residual estimate falls below ``tol * inner_margin``
+    or after ``refresh_every`` iterations, whichever first.
+
+    segment_drop: relative per-segment stop (0 disables).  A refinement
+    cycle against a low-precision operator can only reduce the TRUE residual
+    by a factor ~ ||A - A_low|| ||A^-1|| regardless of how far the segment
+    pushes its own (perturbed) residual — iterations beyond that cap are
+    wasted.  With ``segment_drop = c``, a segment also stops once its
+    estimate falls below ``c * res_segment_start``, so each cycle spends
+    only the iterations its precision can cash.  Calibration: c ~ a few x
+    ||A - A_low||/||A|| * cond(A); ~3e-2 for bfloat16 (2^-8 rounding) and
+    ~4e-3 for float16 (2^-11) on cond~5 ensembles.
+
+    refresh_restart: True (default) restarts CG (beta = 0) at every refresh —
+    the iterative-refinement correction form.  False KEEPS the conjugate
+    direction across the refresh (van der Vorst-style: r replaced by the
+    exact residual, p continued via the standard beta update).  MEASURED:
+    keep-p is strictly worse here — the bf16 replacement perturbation
+    (~||A - A_low|| cond(A) relative, ~2e-2) breaks conjugacy faster than
+    the saved restarts pay back (f64 n=64 box QP, tol 1e-5: restart 31
+    matvecs, keep-p 78; at tol 1e-10 keep-p fails outright).  The flag stays
+    for operators with much smaller low-precision error."""
+
+    precond: str = "none"
+    refresh_every: int = 0
+    inner_margin: float = 0.3
+    refresh_restart: bool = True
+    segment_drop: float = 0.0
 
 
 class _State(NamedTuple):
@@ -64,7 +120,7 @@ class _State(NamedTuple):
     m: jax.Array        # binding mask (1 = coordinate free to move)
     r: jax.Array        # face-restricted steepest descent -m*g
     p: jax.Array        # conjugate direction (supported on the free set)
-    rr: jax.Array
+    rr: jax.Array       # r.z (== r.r unpreconditioned)
     res: jax.Array
     mv: jax.Array
     it: jax.Array
@@ -95,12 +151,23 @@ def _solve(A, b, x0, proj, config):
     x0 = default_x0(b, x0, proj)
     tiny = eps_of(b)
 
+    if config.precond == "jacobi":
+        diag = op.diagonal()
+        dinv = 1.0 / jnp.maximum(diag, tiny)
+        prec = lambda r: dinv * r
+    else:
+        prec = lambda r: r
+
+    if config.refresh_every > 0:
+        return _solve_rr(op, b, x0, proj, config, prec, tiny)
+
     g0 = op.matvec(x0) + b
     m0 = proj.binding_mask(x0, g0)
     r0 = -m0 * g0
-    rr0 = op.dot(r0, r0)
+    z0 = m0 * prec(r0)
+    rr0 = op.dot(r0, z0)
     res0 = pg_residual(proj, x0, g0, config.gd, op)
-    s0 = _State(x=x0, g=g0, m=m0, r=r0, p=r0, rr=rr0, res=res0,
+    s0 = _State(x=x0, g=g0, m=m0, r=r0, p=z0, rr=rr0, res=res0,
                 mv=jnp.int32(1), it=jnp.int32(0),
                 done=(res0 < config.tol) | (1 >= config.max_matvecs),
                 trace=init_trace(config, b.dtype))
@@ -123,17 +190,19 @@ def _solve(A, b, x0, proj, config):
         m = proj.binding_mask(x, g)
         changed = jnp.any(m != s.m)
         r = -m * g
-        rr = op.dot(r, r)
+        z = m * prec(r)
+        rr = op.dot(r, z)
         restart = changed | (alpha_f < alpha_cg)
         beta = jnp.where(restart, 0.0, rr / (s.rr + tiny))
-        p = r + beta * s.p
+        p = z + beta * s.p
         res = pg_residual(proj, x, g, config.gd, op)
-        # rr == 0 (exactly: r = -m*g is a masked copy, so a fully-frozen mask
-        # zeroes it bit-exactly) with res >= tol: no direction is left to
-        # move in — stalled.  The test must be exact, not a tiny-threshold:
-        # rr is a SQUARED norm, so near-convergence gradients legitimately
-        # pass below any absolute epsilon (a 10*eps threshold falsely
-        # stalled f64 solves one iteration short of a 1e-10 tol).
+        # rr == 0 (exactly: r = -m*g is a masked copy and z = m*dinv*r with
+        # dinv > 0, so a fully-frozen mask zeroes r.z bit-exactly) with
+        # res >= tol: no direction is left to move in — stalled.  The test
+        # must be exact, not a tiny-threshold: rr is a SQUARED (M-weighted)
+        # norm, so near-convergence gradients legitimately pass below any
+        # absolute epsilon (a 10*eps threshold falsely stalled f64 solves
+        # one iteration short of a 1e-10 tol).
         done = (res < config.tol) | (mv >= config.max_matvecs) | (rr == 0)
         return _State(x, g, m, r, p, rr, res, mv, s.it + 1, done,
                       record_trace(s.trace, s.it, res))
@@ -145,6 +214,115 @@ def _solve(A, b, x0, proj, config):
     # equivalent on the tol/budget exits, False on stagnation — so downstream
     # fixup passes (parallel/mixed.py selects stragglers by ~converged)
     # re-solve stalled lanes instead of trusting them.
+    return dataclasses.replace(result, converged=s.res < config.tol)
+
+
+class _RRInner(NamedTuple):
+    x: jax.Array
+    g: jax.Array        # carried (perturbed-operator) gradient
+    m: jax.Array
+    r: jax.Array
+    p: jax.Array
+    rr: jax.Array
+    thr: jax.Array      # segment stop threshold on the residual estimate
+    mv: jax.Array
+    k: jax.Array
+    done: jax.Array
+
+
+class _RROuter(NamedTuple):
+    x: jax.Array
+    g: jax.Array        # EXACT gradient (op.matvec_exact)
+    m: jax.Array
+    p: jax.Array        # carried conjugate direction (keep-p mode)
+    rr: jax.Array       # last inner r.z (for the cross-segment beta)
+    fresh: jax.Array    # True -> next segment starts steepest-descent
+    res: jax.Array      # true Eq.25 residual at the last refresh
+    mv: jax.Array
+    it: jax.Array
+    done: jax.Array
+    trace: jax.Array
+
+
+def _solve_rr(op, b, x0, proj, config, prec, tiny):
+    """Residual-replacement mixed-precision PCG (see PCGConfig.refresh_every).
+
+    Structure: an outer loop of f32 gradient refreshes around inner segments
+    of cheap (bf16 for MixedPrecDense) CG iterations.  The nesting is load-
+    bearing under vmap: a per-iteration ``lax.cond`` on "is this a refresh
+    step" would execute BOTH matvecs masked on every iteration; nested loops
+    keep every inner step exactly one cheap sweep and every outer step
+    exactly one exact sweep.  Matvec counts include both kinds (low-precision
+    applications move half the bytes — docs/precision.md)."""
+    K = int(config.refresh_every)
+    inner_tol = config.tol * config.inner_margin
+
+    def inner_body(t):
+        Ap = op.matvec(t.p)                       # cheap sweep
+        mAp = t.m * Ap
+        pAp = op.dot(t.p, mAp)
+        alpha_cg = t.rr / (pAp + tiny)
+        alpha_f = op.reduce_min(proj.max_feasible_step(t.x, -t.p))
+        alpha = jnp.minimum(alpha_cg, jnp.maximum(alpha_f, 0.0))
+        x = proj.project(t.x + alpha * t.p)
+        g = t.g + alpha * Ap
+        m = proj.binding_mask(x, g)
+        changed = jnp.any(m != t.m)
+        r = -m * g
+        z = m * prec(r)
+        rr = op.dot(r, z)
+        restart = changed | (alpha_f < alpha_cg)
+        beta = jnp.where(restart, 0.0, rr / (t.rr + tiny))
+        p = z + beta * t.p
+        # Perturbed-system residual estimate: early-stops the segment only —
+        # convergence is judged solely at exact-gradient refreshes.
+        res_est = pg_residual(proj, x, g, config.gd, op)
+        done = (res_est < t.thr) | (rr == 0) | (t.k + 1 >= K)
+        return _RRInner(x, g, m, r, p, rr, t.thr, t.mv + 1, t.k + 1, done)
+
+    def outer_body(s):
+        # Segment start: exact steepest descent on the free set, conjugated
+        # against the carried direction (van der Vorst residual replacement)
+        # unless restart mode / first segment / the refresh flipped the mask.
+        r0 = -s.m * s.g
+        z0 = s.m * prec(r0)
+        rr0 = op.dot(r0, z0)
+        if config.refresh_restart:
+            p0 = z0
+        else:
+            beta0 = jnp.where(s.fresh, 0.0, rr0 / (s.rr + tiny))
+            p0 = z0 + beta0 * s.p
+        thr = jnp.asarray(inner_tol, b.dtype)
+        if config.segment_drop > 0:
+            thr = jnp.maximum(thr, config.segment_drop * s.res)
+        t0 = _RRInner(s.x, s.g, s.m, r0, p0, rr0, thr, s.mv, jnp.int32(0),
+                      (rr0 == 0) | (s.mv >= config.max_matvecs))
+        t = lax.while_loop(lambda t: ~t.done, inner_body, t0)
+        # Exact refresh: gradient, mask, TRUE residual.
+        g = op.matvec_exact(t.x) + b
+        mv = t.mv + 1
+        m = proj.binding_mask(t.x, g)
+        res = pg_residual(proj, t.x, g, config.gd, op)
+        it = s.it + t.k
+        # t.k == 0: the segment had no free direction to move in (frozen
+        # mask) — a further segment would spin on the budget; stop with the
+        # honest residual.
+        done = (res < config.tol) | (mv >= config.max_matvecs) | (t.k == 0)
+        fresh = jnp.any(m != t.m)
+        return _RROuter(t.x, g, m, t.p, t.rr, fresh, res, mv, it, done,
+                        record_trace(s.trace, s.it, res))
+
+    g0 = op.matvec_exact(x0) + b
+    m0 = proj.binding_mask(x0, g0)
+    res0 = pg_residual(proj, x0, g0, config.gd, op)
+    s0 = _RROuter(x=x0, g=g0, m=m0, p=jnp.zeros_like(b),
+                  rr=jnp.ones((), b.dtype), fresh=jnp.asarray(True),
+                  res=res0, mv=jnp.int32(1),
+                  it=jnp.int32(0),
+                  done=(res0 < config.tol) | (1 >= config.max_matvecs),
+                  trace=init_trace(config, b.dtype))
+    s = lax.while_loop(lambda s: ~s.done, outer_body, s0)
+    result = make_result(s.x, s.res, s.mv, s.it, config.max_matvecs, s.trace)
     return dataclasses.replace(result, converged=s.res < config.tol)
 
 

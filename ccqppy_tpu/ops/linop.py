@@ -62,6 +62,13 @@ class LinearOperator:
         """diag(A), used for Jacobi preconditioning."""
         raise NotImplementedError
 
+    def matvec_exact(self, x):
+        """Full-precision matvec.  Defaults to ``matvec``; mixed-precision
+        operators (``MixedPrecDense``) override ``matvec`` with a cheap
+        low-precision sweep and keep the exact product here — used by the
+        residual-replacement refreshes of ``models.pcg``."""
+        return self.matvec(x)
+
 
 @register_pytree_dataclass
 class DenseOperator(LinearOperator):
@@ -191,6 +198,127 @@ class CastDense(LinearOperator):
 
     def diagonal(self):
         return jnp.diagonal(self.A).astype(jnp.float32)
+
+
+@register_pytree_dataclass
+class MixedPrecDense(LinearOperator):
+    """Dense operator carrying BOTH precisions: ``matvec`` streams the
+    bfloat16-resident copy (half the HBM bytes — measured 5.0 vs 9.1 ms per
+    sweep at B=1536, n=1024 on a v5e, a 1.8x sweep-rate win), ``matvec_exact``
+    streams the float32 original at HIGHEST precision.
+
+    This is the operand of the residual-replacement mixed-precision PCG
+    (``models.pcg`` with ``refresh_every > 0``): the CG recurrence rides the
+    cheap sweeps, the periodic gradient refresh and every reported residual
+    ride the exact one.  Build with ``MixedPrecDense.from_f32(A)`` or from a
+    layout-pinned pair (``parallel.prepare_dense_batch(As, jnp.bfloat16)``).
+    """
+
+    A: jax.Array          # float32
+    A_low: jax.Array      # bfloat16 (same layout, ideally pinned batch-major)
+
+    @staticmethod
+    def from_f32(A, dtype=jnp.bfloat16):
+        A = jnp.asarray(A)
+        return MixedPrecDense(A, A.astype(dtype))
+
+    def matvec(self, x):
+        return jnp.dot(self.A_low, x.astype(self.A_low.dtype),
+                       preferred_element_type=x.dtype)
+
+    def matvec_exact(self, x):
+        return jnp.dot(self.A, x, preferred_element_type=x.dtype,
+                       precision=_PRECISION)
+
+    def inf_norm(self):
+        return jnp.max(jnp.sum(jnp.abs(self.A), axis=-1))
+
+    def diagonal(self):
+        return jnp.diagonal(self.A)
+
+
+@register_pytree_dataclass(meta_fields=("n", "tile"))
+class SymmetricPackedDense(LinearOperator):
+    """Symmetric dense operator stored as packed upper-triangle tiles,
+    applied by the Pallas symv kernel (``ops.pallas_kernels.symv_packed``):
+    the matvec streams ~HALF the HBM bytes of a dense GEMV at FULL f32
+    precision — the exact-arithmetic counterpart of the bf16 ladder's
+    2x-bytes lever — and the packed form also halves HBM *capacity*
+    (plus diagonal-tile slack: x1.19 of n^2/2 at tile=n/8).
+
+    Fields (single problem; stack with a leading batch axis and ``vmap``
+    for ensembles — ``parallel.solve_batched`` does this automatically):
+
+      Ap:    (T, tile, tile) upper tiles, T = nt(nt+1)/2, row-major
+             (``pallas_kernels.pack_symmetric`` order).  The logical n is
+             padded up to a tile multiple; padding rows/cols are zero.
+      diag:  (n,) true diagonal (for Jacobi preconditioning).
+      n:     logical dimension (static).
+      tile:  tile size (static; multiple of 128 on TPU).
+
+    Build with ``SymmetricPackedDense.from_dense(A, tile)``.
+    """
+
+    Ap: jax.Array
+    diag: jax.Array
+    n: int
+    tile: int
+
+    @staticmethod
+    def from_dense(A, tile=256):
+        from ccqppy_tpu.ops.pallas_kernels import pack_symmetric
+        A = jnp.asarray(A)
+        n = A.shape[-1]
+        npad = (n + tile - 1) // tile * tile
+        diag = jnp.diagonal(A, axis1=-2, axis2=-1)
+        if npad != n:
+            pad = [(0, 0)] * (A.ndim - 2) + [(0, npad - n), (0, npad - n)]
+            A = jnp.pad(A, pad)
+        if A.ndim == 2:
+            Ap = pack_symmetric(A[None], tile=tile)[0]
+        else:
+            Ap = pack_symmetric(A, tile=tile)
+        return SymmetricPackedDense(Ap, diag, int(n), int(tile))
+
+    def _npad(self):
+        """Padded dimension, recovered statically from T = nt(nt+1)/2."""
+        T, tile, _ = self.Ap.shape[-3:]
+        nt = 1
+        while nt * (nt + 1) // 2 < T:
+            nt += 1
+        return nt * tile
+
+    def matvec(self, x):
+        from ccqppy_tpu.ops.pallas_kernels import symv_packed
+        npad = self._npad()
+        if npad != self.n:
+            x = jnp.pad(x, (0, npad - self.n))
+        y = symv_packed(self.Ap, x, n=npad)
+        return y[: self.n] if npad != self.n else y
+
+    def inf_norm(self):
+        # ||A||_inf = max_i sum_j |A_ij|; row i gets |T_kj| row sums from its
+        # block row plus column sums of blocks above the diagonal in its
+        # block column.  Padding rows are zero and cannot win the max.
+        T, tile, _ = self.Ap.shape
+        npad = self._npad()
+        nt = npad // tile
+        import numpy as np
+        from ccqppy_tpu.ops.pallas_kernels import _upper_tile_tables
+        ii, jj = _upper_tile_tables(nt)
+        absA = jnp.abs(self.Ap)
+        rowsums = jnp.zeros((nt, tile), self.Ap.dtype)
+        colsums = jnp.sum(absA, axis=-2)       # (T, tile) per-tile col sums
+        rsums = jnp.sum(absA, axis=-1)         # (T, tile) per-tile row sums
+        for t in range(T):
+            i, j = int(ii[t]), int(jj[t])
+            rowsums = rowsums.at[i].add(rsums[t])
+            if i != j:
+                rowsums = rowsums.at[j].add(colsums[t])
+        return jnp.max(rowsums)
+
+    def diagonal(self):
+        return self.diag
 
 
 @register_pytree_dataclass(meta_fields=("axis", "axis_size"))

@@ -230,7 +230,10 @@ def _fused_compact_fn(solver, cfg1, cfg2, bucket, has_x0):
         idx = jnp.nonzero(bad, size=bucket, fill_value=0)[0]
         valid = jnp.arange(bucket) < nbad
 
-        A2 = _row_gather(As, idx)
+        # Tree-map supports operator pytrees (e.g. MixedPrecDense) with a
+        # leading batch axis on every leaf; a raw (B, n, n) stack is the
+        # single-leaf case.
+        A2 = jax.tree.map(lambda leaf: _row_gather(leaf, idx), As)
         b2 = jnp.take(bs, idx, axis=0)
         x02 = jnp.take(r1.x, idx, axis=0)
         r2 = jax.vmap(lambda A, b, x0_i: fn(A, b, x0=x0_i, proj=proj,

@@ -273,3 +273,81 @@ def test_solve_batched_compact_straggler_path():
     r = solve_batched_compact("bbpgd_f", As, bs, 3, proj=proj, config=cfg)
     assert np.asarray(r.converged).all()
     assert np.asarray(r.matvecs).min() > 3   # both phases counted
+
+
+# --------------------------------------------- residual-replacement mixed PCG
+
+def _rr_problem(n=64, seed=0):
+    from ccqppy_tpu.ops.linop import MixedPrecDense
+    rng = np.random.default_rng(seed)
+    G = rng.standard_normal((n, n))
+    A = jnp.asarray(G @ G.T + n * np.eye(n), jnp.float64)
+    b = jnp.asarray(-np.asarray(A) @ rng.uniform(-1, 1, n), jnp.float64)
+    proj = P.box(-0.8 * jnp.ones(n, jnp.float64),
+                 0.8 * jnp.ones(n, jnp.float64), jnp.float64)
+    return A, b, proj, MixedPrecDense.from_f32(A)
+
+
+@pytest.mark.parametrize("tol", [1e-5, 1e-10])
+def test_pcg_rr_converges_below_bf16_floor(tol):
+    """Residual-replacement PCG on a MixedPrecDense operator converges
+    arbitrarily below the bf16 operator-error floor (~1e-2 normalized), and
+    the reported residual is a TRUE full-precision one."""
+    A, b, proj, op = _rr_problem()
+    cfg = PCGConfig(tol=tol, max_matvecs=2000, refresh_every=16)
+    r = SOLVERS["pcg"][0](op, b, proj=proj, config=cfg)
+    assert bool(r.converged)
+    g = A @ r.x + b
+    true = float(pg_residual(proj, r.x, g, 1e-6, DenseOperator(A)))
+    assert true < tol * 1.01, true
+    assert abs(true - float(r.residual)) <= 1e-12 + 0.05 * true
+
+
+def test_pcg_rr_matches_plain_solution():
+    A, b, proj, op = _rr_problem(seed=3)
+    cfg = PCGConfig(tol=1e-9, max_matvecs=2000, refresh_every=16)
+    r_rr = SOLVERS["pcg"][0](op, b, proj=proj, config=cfg)
+    r_pl = SOLVERS["pcg"][0](A, b, proj=proj,
+                             config=PCGConfig(tol=1e-9, max_matvecs=2000))
+    assert bool(r_rr.converged) and bool(r_pl.converged)
+    np.testing.assert_allclose(np.asarray(r_rr.x), np.asarray(r_pl.x),
+                               atol=1e-7)
+
+
+def test_pcg_rr_single_precision_operator_is_consistent():
+    """refresh_every > 0 with a PLAIN operator (matvec_exact == matvec) is
+    valid and agrees with the plain path."""
+    A, b, proj, _ = _rr_problem(seed=5)
+    cfg = PCGConfig(tol=1e-10, max_matvecs=2000, refresh_every=16)
+    r = SOLVERS["pcg"][0](A, b, proj=proj, config=cfg)
+    r_pl = SOLVERS["pcg"][0](A, b, proj=proj,
+                             config=PCGConfig(tol=1e-10, max_matvecs=2000))
+    assert bool(r.converged) and bool(r_pl.converged)
+    np.testing.assert_allclose(np.asarray(r.x), np.asarray(r_pl.x),
+                               atol=1e-9)
+
+
+def test_pcg_rr_batched():
+    """rr-PCG under vmap via solve_batched with a batched MixedPrecDense."""
+    from ccqppy_tpu.ops.linop import MixedPrecDense
+    from ccqppy_tpu.parallel import solve_batched
+    B, n = 8, 32
+    As, bs_, _ = random_qp_batch(jax.random.PRNGKey(2), B, n, jnp.float64,
+                                 diag_boost=1.0)
+    op = MixedPrecDense(As, As.astype(jnp.bfloat16))
+    proj = P.box(-jnp.ones(n, jnp.float64), jnp.ones(n, jnp.float64),
+                 jnp.float64)
+    cfg = PCGConfig(tol=1e-8, max_matvecs=2000, refresh_every=16)
+    r = solve_batched("pcg", op, bs_, proj=proj, config=cfg)
+    assert bool(jnp.all(r.converged))
+    for i in (0, 5):
+        g = As[i] @ r.x[i] + bs_[i]
+        true = float(pg_residual(proj, r.x[i], g, 1e-6, DenseOperator(As[i])))
+        assert true < 1e-8 * 1.01
+
+
+def test_pcg_rr_budget_exhaustion_honest():
+    A, b, proj, op = _rr_problem(seed=7)
+    cfg = PCGConfig(tol=1e-14, max_matvecs=20, refresh_every=8)
+    r = SOLVERS["pcg"][0](op, b, proj=proj, config=cfg)
+    assert not bool(r.converged)

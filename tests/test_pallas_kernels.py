@@ -1,12 +1,12 @@
 """Pallas kernel correctness (interpret mode on CPU; the real lowering is
 exercised on TPU by bench.py and the verify drive)."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
 
-from ccqppy_tpu.ops.pallas_kernels import (batched_gemv, fused_gradient_step,
-                                           padded_batched_gemv)
+from ccqppy_tpu.ops.pallas_kernels import batched_gemv, padded_batched_gemv
 
 
 def test_batched_gemv_interpret():
@@ -33,29 +33,46 @@ def test_padded_batched_gemv_interpret():
                                atol=2e-4)
 
 
-def test_fused_gradient_step_interpret():
-    rng = np.random.default_rng(2)
-    B, n = 2, 128
+def _sym_batch(B=3, n=512, seed=4):
+    rng = np.random.default_rng(seed)
     G = rng.standard_normal((B, n, n))
-    A = jnp.asarray(G @ np.transpose(G, (0, 2, 1)) + n * np.eye(n),
-                    jnp.float32)
-    x = jnp.asarray(rng.uniform(-1, 1, (B, n)), jnp.float32)
-    b = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
-    g = jnp.einsum("bij,bj->bi", A, x) + b
-    alpha = jnp.asarray(rng.uniform(1e-4, 1e-3, B), jnp.float32)
-    lb = -jnp.ones((B, n), jnp.float32)
-    ub = jnp.ones((B, n), jnp.float32)
+    A = jnp.asarray(G + np.transpose(G, (0, 2, 1)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
+    ref = np.einsum("bij,bj->bi", np.asarray(A, np.float64),
+                    np.asarray(x, np.float64))
+    return A, x, ref
 
-    x1, g1, dxdx, dxdg = fused_gradient_step(A, b, x, alpha, g, lb, ub,
-                                             interpret=True)
 
-    x1_ref = jnp.clip(x - alpha[:, None] * g, lb, ub)
-    g1_ref = jnp.einsum("bij,bj->bi", A, x1_ref,
-                        precision=jax.lax.Precision.HIGHEST) + b
-    dx = x1_ref - x
-    np.testing.assert_allclose(np.asarray(x1), np.asarray(x1_ref), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g1_ref), rtol=3e-5,
-                               atol=3e-3)
-    np.testing.assert_allclose(np.asarray(dxdx),
-                               np.asarray(jnp.sum(dx * dx, axis=-1)),
-                               rtol=1e-4, atol=1e-6)
+def test_batched_gemv_bf16_interpret():
+    """bf16-resident A: f32 accumulation, ~2^-8 relative operator error."""
+    from ccqppy_tpu.ops.pallas_kernels import batched_gemv
+    A, x, ref = _sym_batch()
+    y = batched_gemv(A.astype(jnp.bfloat16), x, interpret=True)
+    scale = np.abs(ref).max()
+    assert np.abs(np.asarray(y) - ref).max() / scale < 2e-2
+
+
+@pytest.mark.parametrize("tile", [128, 256])
+def test_batched_symv_matches_gemv(tile):
+    """Upper-triangle-streaming symv == full GEMV (exact math, half bytes)."""
+    from ccqppy_tpu.ops.pallas_kernels import batched_symv
+    A, x, ref = _sym_batch()
+    y = batched_symv(A, x, tile=tile, interpret=True)
+    scale = np.abs(ref).max()
+    assert np.abs(np.asarray(y) - ref).max() / scale < 1e-5
+
+
+@pytest.mark.parametrize("tile", [128, 256])
+def test_symv_packed_matches_gemv(tile):
+    from ccqppy_tpu.ops.pallas_kernels import (batched_symv_packed,
+                                               pack_symmetric, symv_packed)
+    A, x, ref = _sym_batch()
+    Ap = pack_symmetric(A, tile=tile)
+    nt = A.shape[-1] // tile
+    assert Ap.shape[1] == nt * (nt + 1) // 2
+    scale = np.abs(ref).max()
+    y = batched_symv_packed(Ap, x, interpret=True)
+    assert np.abs(np.asarray(y) - ref).max() / scale < 1e-5
+    # single-problem form composes with vmap
+    yv = jax.vmap(lambda a, xx: symv_packed(a, xx, interpret=True))(Ap, x)
+    assert np.abs(np.asarray(yv) - ref).max() / scale < 1e-5

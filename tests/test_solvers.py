@@ -186,3 +186,50 @@ def test_pcg_delegates_to_mprgp_bb_on_curved_sets():
     assert bool(r_pcg.converged)
     np.testing.assert_array_equal(np.asarray(r_pcg.x), np.asarray(r_mb.x))
     assert int(r_pcg.matvecs) == int(r_mb.matvecs)
+
+
+def _hetero_diag_problem(n=48, spread=1e3, seed=21):
+    """SPD Hessian with a strongly heterogeneous diagonal (condition spread
+    ~`spread`) — the family Jacobi preconditioning exists for."""
+    rng = np.random.default_rng(seed)
+    d = np.logspace(0, np.log10(spread), n)
+    G = rng.standard_normal((n, n)) * 0.05
+    A = np.diag(d) + G @ G.T
+    x_exact = rng.uniform(-0.5, 0.5, n)
+    b = -A @ x_exact
+    import jax.numpy as jnp
+    proj = __import__("ccqppy_tpu").box(-jnp.ones(n, jnp.float64),
+                                        jnp.ones(n, jnp.float64), jnp.float64)
+    return jnp.asarray(A, jnp.float64), jnp.asarray(b, jnp.float64), proj
+
+
+@pytest.mark.parametrize("solver", ["bbpgd", "pcg"])
+def test_jacobi_precond_matvec_win(solver):
+    """precond='jacobi' converges to the same solution with strictly fewer
+    matvecs on a heterogeneous-diagonal problem (the regression guard the
+    round-1 verdict asked for: the feature existed untested)."""
+    A, b, proj = _hetero_diag_problem()
+    fn, cfg_cls = SOLVERS[solver]
+    cfg_plain = cfg_cls(tol=1e-8, max_matvecs=5000)
+    cfg_prec = cfg_cls(tol=1e-8, max_matvecs=5000, precond="jacobi")
+    r_plain = fn(A, b, proj=proj, config=cfg_plain)
+    r_prec = fn(A, b, proj=proj, config=cfg_prec)
+    assert bool(r_plain.converged) and bool(r_prec.converged)
+    np.testing.assert_allclose(np.asarray(r_prec.x), np.asarray(r_plain.x),
+                               atol=1e-5)
+    assert int(r_prec.matvecs) < int(r_plain.matvecs), (
+        int(r_prec.matvecs), int(r_plain.matvecs))
+
+
+def test_pcg_jacobi_flat_diag_parity():
+    """On a flat-diagonal problem Jacobi is a scalar rescale: same
+    trajectory cost class (within a couple of matvecs), same solution."""
+    fn, cfg_cls = SOLVERS["pcg"]
+    prob = problems.box_constrained_spd()
+    r0 = fn(prob.A, prob.b, proj=prob.proj,
+            config=cfg_cls(tol=TOL, max_matvecs=5000))
+    r1 = fn(prob.A, prob.b, proj=prob.proj,
+            config=cfg_cls(tol=TOL, max_matvecs=5000, precond="jacobi"))
+    assert bool(r0.converged) and bool(r1.converged)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x), atol=1e-8)
+    assert abs(int(r1.matvecs) - int(r0.matvecs)) <= 3
