@@ -55,7 +55,7 @@ def main():
     for r in rows:
         print(f"{r['devices']:>5} {r['batch']:>6} "
               f"{r['iterations_per_s']:>12.0f} {r['solves_per_s']:>10.1f} "
-              f"{r['efficiency_vs_1dev']:>6.2f} {r['converged']:>6.2f}")
+              f"{r['efficiency_vs_first']:>6.2f} {r['converged']:>6.2f}")
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
     os.makedirs(out, exist_ok=True)

@@ -140,15 +140,38 @@ class DisjointProjOp(_ProjOpWrapper):
 # --------------------------------------------------------------------------
 # Solvers (reference: solvers.py)
 # --------------------------------------------------------------------------
+# Compiled executables cached per (solver, operand signature): the AOT path
+# bypasses jax.jit's dispatch cache, so without this every ``solve()`` call
+# through the drop-in API would re-trace and re-compile — seconds per call,
+# hidden from ``solution_time`` but a real throughput cost for a user looping
+# over same-shaped problems (advisor finding, round 2).
+_AOT_CACHE = {}
+
+
+def _sig(tree):
+    """Hashable trace signature of an operand pytree: structure + per-leaf
+    shape/dtype (values don't affect compilation)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    return (str(treedef),
+            tuple((jnp.shape(l), str(jnp.result_type(l))) for l in leaves))
+
+
 def _aot(solve_fn, A, b, x0, proj, config, **kw):
     """Ahead-of-time compile a jitted solver for the given operands so the
-    caller can time pure execution.  Falls back to the jitted function itself
-    (compile included on first call) if the AOT API is unavailable."""
-    try:
-        return solve_fn.lower(A, b, x0=x0, proj=proj, config=config,
-                              **kw).compile()
-    except Exception:  # pragma: no cover - AOT API drift
-        return functools.partial(solve_fn, config=config)
+    caller can time pure execution.  Compiled executables are cached by
+    operand signature; falls back to the jitted function itself (compile
+    included on first call) if the AOT API is unavailable."""
+    key = (id(solve_fn), _sig(A), _sig(b), _sig(x0), _sig(proj), config,
+           tuple(sorted(kw)), _sig(kw))
+    fn = _AOT_CACHE.get(key)
+    if fn is None:
+        try:
+            fn = solve_fn.lower(A, b, x0=x0, proj=proj, config=config,
+                                **kw).compile()
+        except Exception:  # pragma: no cover - AOT API drift
+            fn = functools.partial(solve_fn, config=config)
+        _AOT_CACHE[key] = fn
+    return fn
 
 
 class _SolverWrapper:

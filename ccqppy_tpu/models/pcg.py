@@ -277,7 +277,13 @@ def _solve_rr(op, b, x0, proj, config, prec, tiny):
         # Perturbed-system residual estimate: early-stops the segment only —
         # convergence is judged solely at exact-gradient refreshes.
         res_est = pg_residual(proj, x, g, config.gd, op)
-        done = (res_est < t.thr) | (rr == 0) | (t.k + 1 >= K)
+        # The budget check keeps the total count honest: without it a lane
+        # could overshoot config.max_matvecs by up to a full segment of cheap
+        # sweeps (+1 exact) in its final refresh cycle.  The +2 accounts for
+        # the segment-closing exact refresh, so reported matvecs never exceed
+        # the budget.
+        done = (res_est < t.thr) | (rr == 0) | (t.k + 1 >= K) \
+            | (t.mv + 2 >= config.max_matvecs)
         return _RRInner(x, g, m, r, p, rr, t.thr, t.mv + 1, t.k + 1, done)
 
     def outer_body(s):

@@ -362,8 +362,19 @@ class ShardedDenseOperator(LinearOperator):
 
     def diagonal(self):
         """Local shard of diag(A): row i of the shard owns global row
-        shard_index * n_local + i."""
-        n_local = self.A_local.shape[0]
+        shard_index * n_local + i.
+
+        CONTRACT: shards must be EQUAL CONTIGUOUS row blocks in shard-index
+        order — global row r lives on shard r // n_local (exactly what
+        ``parallel.sharded.solve_sharded`` produces with a PartitionSpec over
+        the row axis).  A non-contiguous or permuted row sharding would make
+        this offset arithmetic silently pick off-diagonal entries (wrong
+        Jacobi preconditioning); such layouts need their own operator."""
+        n_local, n_global = self.A_local.shape
+        assert n_local * self.axis_size == n_global, (
+            f"ShardedDenseOperator.diagonal requires equal contiguous row "
+            f"blocks: n_local={n_local} * axis_size={self.axis_size} != "
+            f"n={n_global}")
         offset = lax.axis_index(self.axis) * n_local
         cols = offset + jnp.arange(n_local)
         return self.A_local[jnp.arange(n_local), cols]
@@ -423,8 +434,18 @@ class ShardedBlockSparseOperator(LinearOperator):
 
     def diagonal(self):
         """Local shard of diag(A): shard s owns global block-rows
-        [s*nbr_local, (s+1)*nbr_local)."""
+        [s*nbr_local, (s+1)*nbr_local).
+
+        CONTRACT (as in ShardedDenseOperator.diagonal): equal contiguous
+        block-row shards in shard-index order — what
+        ``parallel.sharded.solve_sharded_blocksparse`` produces.  Permuted or
+        ragged shardings would match the wrong ``cols`` entries and return
+        off-diagonal values."""
         nbr, kmax, bs, _ = self.blocks.shape
+        assert nbr * self.axis_size * bs == self.n, (
+            f"ShardedBlockSparseOperator.diagonal requires equal contiguous "
+            f"block-row shards: nbr_local={nbr} * axis_size={self.axis_size} "
+            f"* bs={bs} != n={self.n}")
         offset = lax.axis_index(self.axis) * nbr
         row_ids = offset + jnp.arange(nbr, dtype=self.cols.dtype)[:, None]
         on_diag = (self.cols == row_ids).astype(self.blocks.dtype)

@@ -524,7 +524,7 @@ class LorentzConeProj(Projection):
         return jnp.all(ok)
 
 
-@register_pytree_dataclass(meta_fields=("block_dim",))
+@register_pytree_dataclass(meta_fields=("block_dim", "child_axes"))
 class BlockwiseProj(Projection):
     """Cartesian power of one sub-operator over contiguous equal blocks.
 
@@ -534,27 +534,33 @@ class BlockwiseProj(Projection):
     dispatch, fully batched on the VPU.
 
     The child operator's array parameters may be either unbatched (shared
-    across blocks) or stacked with a leading ``num_blocks`` axis (per-block);
-    vmap broadcasting handles both via ``child_axes``.
+    across blocks, ``child_axes=None`` — the default) or stacked with a
+    leading ``num_blocks`` axis (per-block, ``child_axes=0``): e.g.
+    ``BlockwiseProj(box(lb, ub), 3, child_axes=0)`` with ``lb``/``ub`` of
+    shape ``(num_blocks, 3)`` gives every contact its own friction bounds —
+    the reference's per-block ``DisjointProjOp`` pattern
+    (``solution_spaces.py:495-560``) with a single vmapped kernel.
+    ``child_axes`` is a vmap ``in_axes`` prefix for the child pytree
+    (``0``/``None``, or a nested tuple for mixed per-field axes).
     """
 
     child: Projection
     block_dim: int
+    child_axes: object = None
 
     def _blocks(self, x):
         return x.reshape(x.shape[:-1] + (-1, self.block_dim))
 
-    def _vmap(self, fn, *args):
-        return jax.vmap(fn)(*args)
-
     def _child_map(self, method, x, *extra):
         xb = self._blocks(x)
-        child = self.child
-        # Broadcast child params over the block axis when unbatched.
-        def call(xb_i, *e):
-            return getattr(child, method)(xb_i, *e)
-        out = jax.vmap(call)(xb, *[self._blocks(e) for e in extra])
-        return out
+        extras = [self._blocks(e) for e in extra]
+        if self.child_axes is None:
+            child = self.child
+            return jax.vmap(lambda xb_i, *e: getattr(child, method)(xb_i, *e)
+                            )(xb, *extras)
+        axes = (self.child_axes,) + (0,) * (1 + len(extra))
+        return jax.vmap(lambda c, xb_i, *e: getattr(c, method)(xb_i, *e),
+                        in_axes=axes)(self.child, xb, *extras)
 
     def project(self, x):
         return self._child_map("project", x).reshape(x.shape)
@@ -575,17 +581,22 @@ class BlockwiseProj(Projection):
         return m.reshape(x.shape)
 
     def max_feasible_step(self, x, p):
-        xb, pb = self._blocks(x), self._blocks(p)
-        steps = jax.vmap(self.child.max_feasible_step)(xb, pb)
+        steps = self._child_map("max_feasible_step", x, p)
         return jnp.min(steps)
 
     def pg_residual_vec(self, x, g, gd):
         xb, gb = self._blocks(x), self._blocks(g)
-        r = jax.vmap(lambda xi, gi: self.child.pg_residual_vec(xi, gi, gd))(xb, gb)
+        if self.child_axes is None:
+            child = self.child
+            r = jax.vmap(lambda xi, gi: child.pg_residual_vec(xi, gi, gd)
+                         )(xb, gb)
+        else:
+            r = jax.vmap(lambda c, xi, gi: c.pg_residual_vec(xi, gi, gd),
+                         in_axes=(self.child_axes, 0, 0))(self.child, xb, gb)
         return r.reshape(x.shape)
 
     def contains(self, x):
-        return jnp.all(jax.vmap(self.child.contains)(self._blocks(x)))
+        return jnp.all(self._child_map("contains", x))
 
 
 @register_pytree_dataclass(meta_fields=("dims",))
@@ -834,5 +845,8 @@ def lorentz_cone(mu=1.0, dtype=jnp.float32):
     return LorentzConeProj.make(mu, dtype)
 
 
-def blockwise(child, block_dim):
-    return BlockwiseProj(child, int(block_dim))
+def blockwise(child, block_dim, child_axes=None):
+    """Cartesian power of ``child`` over contiguous ``block_dim``-sized
+    blocks.  ``child_axes=0`` maps a leading ``num_blocks`` axis on the
+    child's array parameters to per-block values (see BlockwiseProj)."""
+    return BlockwiseProj(child, int(block_dim), child_axes)

@@ -212,7 +212,7 @@ def host_compact_finish(run2, A, b, r1, proj, keys=None, proj_batched=False,
 
 
 @lru_cache(maxsize=64)
-def _fused_compact_fn(solver, cfg1, cfg2, bucket, has_x0):
+def _fused_compact_fn(solver, cfg1, cfg2, bucket, has_x0, has_keys):
     """Build (and cache) the single-dispatch two-phase compacted solve."""
     import dataclasses
 
@@ -220,11 +220,13 @@ def _fused_compact_fn(solver, cfg1, cfg2, bucket, has_x0):
 
     fn = _get_solver(solver)
 
-    def run(As, bs, x0, proj):
+    def run(As, bs, x0, proj, keys):
         B = bs.shape[0]
-        r1 = jax.vmap(lambda A, b, x0_i: fn(A, b, x0=x0_i, proj=proj,
-                                            config=cfg1),
-                      in_axes=(0, 0, 0 if has_x0 else None))(As, bs, x0)
+        r1 = jax.vmap(lambda A, b, x0_i, k: fn(
+            A, b, x0=x0_i, proj=proj, config=cfg1,
+            **({} if k is None else {"key": k})),
+            in_axes=(0, 0, 0 if has_x0 else None, 0 if has_keys else None)
+        )(As, bs, x0, keys)
         bad = ~r1.converged
         nbad = jnp.sum(bad)
         idx = jnp.nonzero(bad, size=bucket, fill_value=0)[0]
@@ -236,8 +238,14 @@ def _fused_compact_fn(solver, cfg1, cfg2, bucket, has_x0):
         A2 = jax.tree.map(lambda leaf: _row_gather(leaf, idx), As)
         b2 = jnp.take(bs, idx, axis=0)
         x02 = jnp.take(r1.x, idx, axis=0)
-        r2 = jax.vmap(lambda A, b, x0_i: fn(A, b, x0=x0_i, proj=proj,
-                                            config=cfg2))(A2, b2, x02)
+        # Phase-2 keys: per-lane fold_in so the restarted SPG stream is
+        # independent of the (already consumed) phase-1 stream.
+        keys2 = None if not has_keys else jax.vmap(
+            lambda k: jax.random.fold_in(k, 1))(jnp.take(keys, idx, axis=0))
+        r2 = jax.vmap(lambda A, b, x0_i, k: fn(
+            A, b, x0=x0_i, proj=proj, config=cfg2,
+            **({} if k is None else {"key": k})),
+            in_axes=(0, 0, 0, 0 if has_keys else None))(A2, b2, x02, keys2)
 
         # Scatter phase-2 results over the genuine stragglers; padding lanes
         # point out of bounds and drop.  Re-solved lanes report their phase-2
@@ -261,7 +269,7 @@ def _fused_compact_fn(solver, cfg1, cfg2, bucket, has_x0):
 
 def solve_batched_fused_compact(solver, A, b, phase1_matvecs, x0=None,
                                 proj=None, config=None, bucket=256,
-                                host_fallback=True):
+                                host_fallback=True, keys=None):
     """Two-phase straggler compaction fused into ONE dispatch.
 
     ``solve_batched_compact`` (above) pays 4+ extra host round-trips; through
@@ -295,8 +303,9 @@ def solve_batched_fused_compact(solver, A, b, phase1_matvecs, x0=None,
             f"for phase 2 of a max_matvecs={config.max_matvecs} budget")
     cfg1 = dataclasses.replace(config, max_matvecs=int(phase1_matvecs))
     cfg2 = dataclasses.replace(config, max_matvecs=remaining)
-    run = _fused_compact_fn(solver, cfg1, cfg2, int(bucket), x0 is not None)
-    r = run(A, b, x0, proj)
+    run = _fused_compact_fn(solver, cfg1, cfg2, int(bucket), x0 is not None,
+                            keys is not None)
+    r = run(A, b, x0, proj, keys)
     if not host_fallback:
         return r
     conv = np.asarray(r.converged)
@@ -313,9 +322,15 @@ def solve_batched_fused_compact(solver, A, b, phase1_matvecs, x0=None,
         return r
 
     def run2(A2, b2, x02, proj2, keys2):
-        return solve_batched(fn, A2, b2, x0=x02, proj=proj2, config=cfg2)
+        return solve_batched(fn, A2, b2, x0=x02, proj=proj2, config=cfg2,
+                             keys=keys2)
 
-    return host_compact_finish(run2, A, b, r, proj, eligible=eligible)
+    # fold_in mirrors the fused phase 2: overflow lanes restart their RNG
+    # stream independent of the consumed phase-1 stream.
+    keys_f = None if keys is None else jax.vmap(
+        lambda k: jax.random.fold_in(k, 1))(keys)
+    return host_compact_finish(run2, A, b, r, proj, keys=keys_f,
+                               eligible=eligible)
 
 
 def make_batch_mesh(n_devices=None, axis="batch"):

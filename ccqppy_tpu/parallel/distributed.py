@@ -121,10 +121,22 @@ def scaling_probe(n_devices_list=None, batch_per_device=64, n=256,
 
     For each device count k, solves ``k * batch_per_device`` independent
     n-dim box QPs sharded over a k-device mesh (weak scaling — fixed work
-    per device) and reports iterations/s plus parallel efficiency vs one
-    device.  Ideal scenario scaling is linear: the per-lane while_loops are
-    collective-free; efficiency loss comes only from lane-convergence skew
-    and dispatch overheads.  Returns a list of dicts.
+    per device) and reports iterations/s plus parallel efficiency vs the
+    FIRST measured device count (``efficiency_vs_first`` — pass a list
+    starting at 1 for a true 1-device baseline).  Ideal scenario scaling is
+    linear: the per-lane while_loops are collective-free; efficiency loss
+    comes only from lane-convergence skew and dispatch overheads.
+
+    Each row also carries the skew decomposition: the SPMD program runs one
+    fused while_loop, so every device spins until the globally slowest lane
+    converges; ``occupancy`` = (sum of per-lane iterations) / (total lanes *
+    global max iterations) is the fraction of lane-slots doing useful work,
+    and ``skew_wall_factor`` = global-max iters / this row's own p50 —
+    the extreme-value growth that makes weak-scaling efficiency fall at
+    small per-device batches (more devices -> more lanes -> a farther tail).
+    Straggler compaction (``solve_batched_fused_compact``) or bigger
+    per-device work amortizes it — see docs/distributed.md.  Returns a list
+    of dicts.
     """
     import ccqppy_tpu as cq
     from ccqppy_tpu.models import SOLVERS
@@ -153,17 +165,25 @@ def scaling_probe(n_devices_list=None, batch_per_device=64, n=256,
 
         r = run()                                   # compile + warm
         t = min(_timed(run) for _ in range(reps))
-        iters = int(np.asarray(r.iterations).sum())
+        it_arr = np.asarray(r.iterations)
+        iters = int(it_arr.sum())
+        gmax = int(it_arr.max())
         row = {
             "devices": k, "batch": B, "n": n,
             "iterations_per_s": iters / t,
             "solves_per_s": B / t,
             "converged": float(np.asarray(r.converged).mean()),
             "wall_s": t,
+            # Skew decomposition (see docstring): all devices spin to the
+            # globally slowest lane.
+            "max_iterations": gmax,
+            "median_iterations": float(np.median(it_arr)),
+            "occupancy": iters / (B * gmax) if gmax else 1.0,
+            "skew_wall_factor": gmax / max(float(np.median(it_arr)), 1.0),
         }
         if base is None:
             base = row["iterations_per_s"] / k
-        row["efficiency_vs_1dev"] = row["iterations_per_s"] / (k * base)
+        row["efficiency_vs_first"] = row["iterations_per_s"] / (k * base)
         rows.append(row)
     return rows
 

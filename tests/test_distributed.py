@@ -71,5 +71,5 @@ def test_scaling_probe_smoke():
                          dtype=jnp.float64)
     assert [r["devices"] for r in rows] == [1, 2]
     assert all(r["converged"] == 1.0 for r in rows)
-    assert rows[0]["efficiency_vs_1dev"] == 1.0
-    assert rows[1]["efficiency_vs_1dev"] > 0.05   # smoke: tiny problems
+    assert rows[0]["efficiency_vs_first"] == 1.0
+    assert rows[1]["efficiency_vs_first"] > 0.05   # smoke: tiny problems

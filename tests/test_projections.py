@@ -280,3 +280,65 @@ def test_segment_in_solver():
     np.testing.assert_allclose(np.asarray(r_seg.x), np.asarray(r_prod.x),
                                atol=1e-10)
     assert int(r_seg.matvecs) == int(r_prod.matvecs)
+
+
+def test_blockwise_per_block_params_matches_segment():
+    """BlockwiseProj with stacked per-block child parameters
+    (``child_axes=0``) — the reference's per-contact-bounds DisjointProjOp
+    pattern (``solution_spaces.py:495-560``) — is bitwise-identical to the
+    equivalent SegmentProj composition, standalone and under a solver."""
+    import ccqppy_tpu as cq
+    from ccqppy_tpu.models import PCGConfig
+
+    num_blocks, bd = 100, 3
+    dim = num_blocks * bd
+    rng = np.random.default_rng(11)
+    lb = jnp.asarray(rng.uniform(-2.0, -0.1, (num_blocks, bd)), DT)
+    ub = jnp.asarray(rng.uniform(0.1, 2.0, (num_blocks, bd)), DT)
+
+    bw = P.blockwise(P.BoxProj(lb, ub), bd, child_axes=0)
+    seg = P.segment_product(*[(P.box(lb[i], ub[i], DT), bd)
+                              for i in range(num_blocks)])
+    # SegmentProj groups all 100 boxes into ONE stacked group.
+    assert len(seg.children) == 1 and seg.batched == (True,)
+
+    gd = 1e-6
+    for x in sample(dim, 10, seed=13):
+        g = sample(dim, 1, seed=int(abs(np.asarray(x)[0]) * 1e3) % 877 + 1)[0]
+        np.testing.assert_array_equal(np.asarray(bw.project(x)),
+                                      np.asarray(seg.project(x)))
+        np.testing.assert_array_equal(np.asarray(bw.normal(x)),
+                                      np.asarray(seg.normal(x)))
+        np.testing.assert_array_equal(np.asarray(bw.binding_mask(x, g)),
+                                      np.asarray(seg.binding_mask(x, g)))
+        fb, cb = bw.free_chopped(x, g)
+        fs, cs = seg.free_chopped(x, g)
+        np.testing.assert_array_equal(np.asarray(fb), np.asarray(fs))
+        np.testing.assert_array_equal(np.asarray(cb), np.asarray(cs))
+        xf = bw.project(x)
+        np.testing.assert_array_equal(
+            np.asarray(bw.max_feasible_step(xf, g)),
+            np.asarray(seg.max_feasible_step(xf, g)))
+        np.testing.assert_array_equal(
+            np.asarray(bw.pg_residual_vec(x, g, gd)),
+            np.asarray(seg.pg_residual_vec(x, g, gd)))
+        assert bool(bw.contains(x)) == bool(seg.contains(x))
+
+    # End-to-end: a 300-dim QP with 100 distinct per-block boxes solves
+    # through both compositions to the same solution, and under vmap.
+    G = rng.standard_normal((dim, dim))
+    A = jnp.asarray(G @ G.T + dim * np.eye(dim), DT)
+    b = jnp.asarray(-np.asarray(A) @ rng.uniform(-1.5, 1.5, dim), DT)
+    cfg = PCGConfig(tol=1e-9, max_matvecs=2000)
+    r_bw = cq.models.pcg.solve(A, b, proj=bw, config=cfg)
+    r_seg = cq.models.pcg.solve(A, b, proj=seg, config=cfg)
+    assert bool(r_bw.converged) and bool(r_seg.converged)
+    np.testing.assert_array_equal(np.asarray(r_bw.x), np.asarray(r_seg.x))
+    assert int(r_bw.matvecs) == int(r_seg.matvecs)
+    # vmap over problems with the shared per-block projection.
+    from ccqppy_tpu.parallel.batch import solve_batched
+    Ab = jnp.stack([A, A + jnp.eye(dim, dtype=DT)])
+    bb = jnp.stack([b, 0.5 * b])
+    rb = solve_batched("pcg", Ab, bb, proj=bw, config=cfg)
+    assert bool(np.all(np.asarray(rb.converged)))
+    np.testing.assert_array_equal(np.asarray(rb.x[0]), np.asarray(r_bw.x))
