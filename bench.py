@@ -5,19 +5,28 @@ Workload (matched on both sides):
   G ~ N(0,1)^{n x n}), b = -A x_uncon with x_uncon ~ U(-1,1)^n, box [-1,1]^n,
   tol 2e-5, 500-matvec budget.
 
-Round-2 configuration (each step measured on chip — docs/benchmarks.md):
+Round-3 configuration (each step measured on chip — docs/benchmarks.md):
   * flagship PCG face solver (models/pcg.py): exactly one HBM sweep of A per
-    iteration; the solver loop runs at ~12.4 ms/sweep at B=2048 vs the pure
-    XLA GEMV roofline of 11.6 (705 GB/s, 86% of v5e paper peak);
-  * Jacobi warm start x0 = clip(-b / diag A, bounds): 16.8 -> 15.3 mean
-    sweeps;
+    iteration; a 10-sweep GEMV chain runs at 10.6 ms/sweep at B=2048
+    (775 GB/s, ~95% of v5e paper HBM peak), the full solver body at ~11.7;
+  * Jacobi warm start x0 = clip(-b / diag A, bounds), computed per call from
+    the incoming b (one cheap fused elementwise kernel);
   * single-dispatch straggler compaction (solve_batched_fused_compact,
-    phase1=16 sweeps, bucket=512): the batched while-loop otherwise runs
-    every lane to the SLOWEST lane's 23-25 sweeps; compacting the tail into
-    a 512-lane bucket cuts wall 0.32 -> 0.26 s.
-  Measured ladder of alternatives on the same ensemble: plain f32 PCG 6.4k,
-  rr-mixed-precision PCG 6.4-6.6k (parity — see docs/precision.md section 5),
-  pallas symv half-byte kernel SLOWER (section 6), this configuration 7.8k.
+    phase1=16 sweeps, bucket=256): the batched while-loop otherwise runs
+    every lane to the SLOWEST lane's 22+ sweeps; the sweep distribution is
+    p50=15 / p95=17 / max=22, so a 256-lane bucket covers the ~110
+    stragglers past 16 sweeps with 2x headroom;
+  * PIPELINED dispatch timing: the axon remote-execution tunnel costs
+    ~160 ms of host-side overhead per large dispatch (measured: identical
+    solve 415 ms single vs 257 ms/call queued back-to-back).  Real serving
+    streams batches, so the headline is steady-state: K=5 perturbed batches
+    dispatched back-to-back, one sync, wall/K.  The single-dispatch number
+    is reported alongside (round 3: ~9.4k vs ~10.3k solves/s).
+  Measured ladder on the same ensemble: plain batched PCG (no compaction)
+  7.9k; round-2 config (bucket=512, single-dispatch) 7.9k; this
+  configuration 10.3k.  The bf16 rr-PCG ladder OOMs at B=2048 (f32 + bf16
+  copies = 12.3 GB resident); see benchmarks/results/illcond.json for the
+  ensemble family where it wins at smaller B.
 
 Baseline: the reference CCQPpy ``CCQPSolverBBPGDf`` (numpy f64, serial) on
 the IDENTICAL ensemble definition, measured in this container on 2026-08-17:
@@ -42,8 +51,9 @@ BATCH = 2048
 TOL = 2e-5
 BUDGET = 500
 SEED = 0
-PHASE1 = 16        # ~ the straggler knee of the sweep-count distribution
-BUCKET = 512
+PHASE1 = 16        # just past the p50/p75 knee of the sweep distribution
+BUCKET = 256       # ~2x the expected straggler count at PHASE1
+PIPELINE = 5       # back-to-back dispatches per timed measurement
 
 
 def main():
@@ -66,46 +76,70 @@ def main():
 
     proj = cq.box(-jnp.ones(N), jnp.ones(N))
     cfg = PCGConfig(tol=TOL, max_matvecs=BUDGET)
-    # Jacobi warm start: the diagonal guess, projected onto the box.
+    # Jacobi warm start: the diagonal guess, projected onto the box.  The
+    # diagonal is a property of the (fixed) ensemble; the per-call x0 is
+    # recomputed from each incoming b inside the timed region.
     diag = jnp.diagonal(As, axis1=-2, axis2=-1)
-    x0 = jnp.clip(-bs / diag, -1.0, 1.0)
+    diag.block_until_ready()
+    jacobi_x0 = jax.jit(lambda b: jnp.clip(-b / diag, -1.0, 1.0))
 
-    def run(bs):
+    def run(b):
         # host_fallback=False: the bucket is sized so phase 2 never
-        # overflows on this ensemble (warm-up asserts conv=1.0 below); the
-        # host-side fallback's converged-flag round trip costs a ~30 ms
+        # overflows on this ensemble (warm-up asserts conv == 1.0 below);
+        # the host-side fallback's converged-flag round trip costs a ~30 ms
         # tunnel RTT per call, and flags stay honest either way.
         return solve_batched_fused_compact(
-            "pcg", As, bs, PHASE1, x0=x0, proj=proj, config=cfg,
+            "pcg", As, b, PHASE1, x0=jacobi_x0(b), proj=proj, config=cfg,
             bucket=BUCKET, host_fallback=False)
 
-    # Warm-up: compile + first full solve (also absorbs any tunnel grant wait).
+    # Warm-up: compile + first full solve (also absorbs any tunnel grant
+    # wait), asserting every lane converged within the budget.
     r = run(bs)
     conv = float(np.mean(np.asarray(r.converged)))
+    assert conv == 1.0, f"warm-up convergence {conv} != 1.0"
 
-    # Timed runs.  The axon remote-execution layer caches identical
-    # dispatches, so each timed repetition perturbs b (the solve trajectory
-    # changes; cost does not).  Timing is closed by materializing a scalar.
-    # min-of-5: the tunnel adds +-10% run-to-run noise (docs/benchmarks.md).
-    times = []
-    for rep in range(5):
-        bs_rep = bs + (1e-4 * (rep + 1))
+    # Single-dispatch wall (min-of-3, perturbed b per rep: the axon layer
+    # caches identical dispatches; the tunnel adds +-10% run-to-run noise).
+    singles = []
+    for rep in range(3):
+        b_rep = bs + 1e-4 * (rep + 1)
+        b_rep.block_until_ready()
         t0 = time.perf_counter()
-        r = run(bs_rep)
-        _ = float(jnp.sum(r.x)) + float(jnp.max(r.matvecs))
-        times.append(time.perf_counter() - t0)
-    el = min(times)
+        r = run(b_rep)
+        r.x.block_until_ready()
+        singles.append(time.perf_counter() - t0)
+    single = min(singles)
+
+    # Steady-state (headline): PIPELINE perturbed batches dispatched
+    # back-to-back, one sync.  Overlaps the ~160 ms/dispatch tunnel overhead
+    # with device execution — the serving-throughput number.
+    walls = []
+    last = None
+    for trial in range(2):
+        bs_l = [bs + 1e-4 * (10 * (trial + 1) + i) for i in range(PIPELINE)]
+        for b_ in bs_l:
+            b_.block_until_ready()
+        t0 = time.perf_counter()
+        outs = [run(b_) for b_ in bs_l]
+        for o in outs:
+            o.x.block_until_ready()
+        walls.append((time.perf_counter() - t0) / PIPELINE)
+        last = outs[-1]
+    el = min(walls)
+    assert bool(np.all(np.asarray(last.converged))), "timed run unconverged"
     value = BATCH / el
 
     result = {
         "metric": f"batched {N}-dim box-QP solves/s (PCG + jacobi x0 + "
                   f"fused straggler compaction, tol {TOL:g}, B={BATCH}, "
-                  f"1 TPU chip)",
+                  f"1 TPU chip, steady-state pipelined dispatch)",
         "value": round(value, 1),
         "unit": "solves/s",
         "vs_baseline": round(value / REFERENCE_SOLVES_PER_S, 2),
         "convergence_rate": conv,
         "wall_s": round(el, 4),
+        "single_dispatch_wall_s": round(single, 4),
+        "single_dispatch_solves_per_s": round(BATCH / single, 1),
     }
     print(json.dumps(result))
 
