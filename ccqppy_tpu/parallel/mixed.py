@@ -28,9 +28,14 @@ End-to-end on the headline ensemble (B=2048 n=1000 box QPs, tol 2e-5, one
 v5e chip): plain f32 BBPGDf 4.9k solves/s -> layout fix 6.0k -> this ladder
 5.9-6.8k, tying (not beating) plain f32 PCG because the bf16 batched GEMV
 lowers at only ~425 GB/s effective vs f32's ~530 (docs/precision.md has the
-full accounting).  The ladder's durable win is HBM capacity — a bf16
-ensemble stores 2x the problems per chip.  Per-lane convergence semantics
-are exact: every reported residual is a true f32 residual.
+full accounting).  Mixed precision PAYS on ill-conditioned families with
+deep sweep counts: residual-replacement rr-PCG (models/pcg.py
+``refresh_every`` + ``MixedPrecDense``) beats plain f32 by 1.5-1.7x at
+equal true residuals on cond ~ 40-200 Wishart ensembles — measured,
+benchmarks/results/illcond.json.  The ladder's other durable win is HBM
+capacity — a bf16 ensemble stores 2x the problems per chip.  Per-lane
+convergence semantics are exact: every reported residual is a true f32
+residual.
 
 The reference has no counterpart (serial f64 numpy); this is TPU-native
 design headroom, not a port.
