@@ -48,21 +48,49 @@ def main():
     if args.distributed:
         init_distributed()
 
-    rows = scaling_probe(batch_per_device=args.batch_per_device, n=args.n,
-                         solver=args.solver, tol=args.tol)
-    print(f"{'devs':>5} {'batch':>6} {'iters/s':>12} {'solves/s':>10} "
-          f"{'eff':>6} {'conv':>6}")
-    for r in rows:
-        print(f"{r['devices']:>5} {r['batch']:>6} "
-              f"{r['iterations_per_s']:>12.0f} {r['solves_per_s']:>10.1f} "
-              f"{r['efficiency_vs_first']:>6.2f} {r['converged']:>6.2f}")
+    def show(title, rows):
+        print(f"-- {title}")
+        print(f"{'devs':>5} {'batch':>6} {'iters/s':>12} {'solves/s':>10} "
+              f"{'eff':>6} {'occ':>6} {'skew':>6} {'conv':>6}")
+        for r in rows:
+            print(f"{r['devices']:>5} {r['batch']:>6} "
+                  f"{r['iterations_per_s']:>12.0f} {r['solves_per_s']:>10.1f} "
+                  f"{r['efficiency_vs_first']:>6.2f} {r['occupancy']:>6.2f} "
+                  f"{r['skew_wall_factor']:>6.2f} {r['converged']:>6.2f}")
+
+    # Three sweeps that decompose the weak-scaling efficiency story
+    # (docs/distributed.md "Weak-scaling efficiency"):
+    # 1. skew-free control — tol=0 pins every lane to an identical fixed
+    #    iteration count, isolating pure infrastructure (dispatch +
+    #    sharding) overhead.  Scenario parallelism has no collectives, so
+    #    this should sit at ~100%.
+    control = scaling_probe(batch_per_device=args.batch_per_device, n=args.n,
+                            solver=args.solver, tol=0.0,
+                            max_matvecs=64)
+    show("skew-free control (fixed 64-matvec lanes)", control)
+    # 2. the round-2 configuration — small per-device batches to tolerance;
+    #    efficiency falls with device count because the fused while_loop
+    #    runs every device to the globally slowest lane and the max over
+    #    k*64 lanes grows with k (extreme-value tail).
+    small = scaling_probe(batch_per_device=args.batch_per_device, n=args.n,
+                          solver=args.solver, tol=args.tol)
+    show(f"to-tolerance, {args.batch_per_device}/device", small)
+    # 3. realistic per-device work — the tail is already sampled at 1
+    #    device, so weak scaling stops paying the extreme-value growth.
+    big_bpd = args.batch_per_device * 8
+    big = scaling_probe(batch_per_device=big_bpd, n=args.n,
+                        solver=args.solver, tol=args.tol)
+    show(f"to-tolerance, {big_bpd}/device", big)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
     os.makedirs(out, exist_ok=True)
     meta = {"backend": jax.default_backend(),
             "devices": [str(d) for d in jax.devices()],
+            "host_cores": os.cpu_count(),
             "n": args.n, "solver": args.solver, "tol": args.tol,
-            "rows": rows}
+            "control_fixed_iters": control,
+            "rows": small,
+            "big_batch_rows": big}
     with open(os.path.join(out, "scaling.json"), "w") as f:
         json.dump(meta, f, indent=1)
     print("wrote benchmarks/results/scaling.json")

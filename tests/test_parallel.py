@@ -282,3 +282,23 @@ def test_sharded_jacobi_pcg_diagonal_contract():
     r_no = cq.models.pcg.solve(A, b, proj=proj,
                                config=PCGConfig(tol=1e-9, max_matvecs=5000))
     assert int(r_1d.matvecs) < int(r_no.matvecs)
+
+
+def test_scenario_parallel_program_has_no_collectives(batch_problem):
+    """The dp (scenario) axis is collective-free BY CONSTRUCTION, and the
+    compiled program proves it: the optimized HLO of a batch-sharded solve
+    contains no cross-device communication op.  This is the load-bearing
+    fact behind the weak-scaling story (docs/distributed.md): per-device
+    efficiency on real hardware is governed only by lane-convergence skew,
+    never by communication."""
+    As, bs, _, proj = batch_problem
+    mesh = make_batch_mesh()
+    lowered = jax.jit(
+        lambda A, b: solve_batched_sharded("pcg", A, b, mesh, proj=proj,
+                                           config=cq.models.PCGConfig(
+                                               tol=1e-8, max_matvecs=500))
+    ).lower(As, bs)
+    hlo = lowered.compile().as_text()
+    for op in ("all-reduce", "all-gather", "collective-permute",
+               "all-to-all", "reduce-scatter"):
+        assert op not in hlo, f"unexpected collective {op} in dp program"
