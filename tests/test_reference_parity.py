@@ -125,8 +125,12 @@ def test_apgd_trajectory_parity(problem):
     A, b, lb, ub = problem()
     x_r, res_r, conv_r, mv_r = run_ref(
         ref_solvers.CCQPSolverAPGD(1e-8, BUDGET), A, b, lb, ub)
+    # backtrack_slack=0: reproduce the reference's strict (fp-noise-prone)
+    # Lipschitz test bit-for-bit; the production default adds an eps-scale
+    # slack (models/apgd.py quad_bound_holds).
     x_o, res_o, conv_o, mv_o = run_ours(
-        cq.models.apgd.solve, APGDConfig(tol=1e-8, max_matvecs=BUDGET),
+        cq.models.apgd.solve, APGDConfig(tol=1e-8, max_matvecs=BUDGET,
+                                         backtrack_slack=0.0),
         A, b, lb, ub)
     if conv_r:
         assert conv_o
@@ -149,7 +153,8 @@ def test_apgd_ar_trajectory_parity(problem):
         ref_solvers.CCQPSolverAPGDAntiRelaxation(tol, BUDGET), A, b, lb, ub)
     x_o, res_o, conv_o, mv_o = run_ours(
         cq.models.apgd.solve_anti_relaxation,
-        APGDConfig(tol=tol, max_matvecs=BUDGET, anti_relaxation=True),
+        APGDConfig(tol=tol, max_matvecs=BUDGET, anti_relaxation=True,
+                   backtrack_slack=0.0),
         A, b, lb, ub)
     assert conv_r and conv_o
     np.testing.assert_allclose(x_o, x_r, atol=1e-7)

@@ -233,3 +233,29 @@ def test_pcg_jacobi_flat_diag_parity():
     assert bool(r0.converged) and bool(r1.converged)
     np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x), atol=1e-8)
     assert abs(int(r1.matvecs) - int(r0.matvecs)) <= 3
+
+
+def test_apgd_deep_tolerance_backtrack_robustness():
+    """At residuals near the f64 noise floor the strict Lipschitz test turns
+    into rounding-noise coin flips that double L unboundedly and freeze the
+    iterate (the reference shares the hazard, solvers.py:477-480 — it cycles
+    forever at tol 1e-10 on this problem).  The default backtrack_slack
+    treats sub-fp-resolution violations as satisfied; both APGD variants
+    must then reach tol 1e-10 on the README box QP."""
+    import ccqppy_tpu as cq
+    from ccqppy_tpu.models import APGDConfig
+
+    A = jnp.array([[2., -1., 0.], [-1., 2., -1.], [0., -1., 2.]],
+                  jnp.float64)
+    xt = jnp.array([1., 0., 1.], jnp.float64)
+    b = -A @ xt
+    proj = cq.box(jnp.array([-2., -2., -4.]), jnp.array([2., 2., 5.]),
+                  jnp.float64)
+    cfg = APGDConfig(tol=1e-10, max_matvecs=20000)
+    r = cq.models.apgd.solve(A, b, proj=proj, config=cfg)
+    assert bool(r.converged) and float(r.residual) < 1e-10
+    r = cq.models.apgd.solve_anti_relaxation(A, b, proj=proj, config=cfg)
+    assert bool(r.converged) and float(r.residual) < 1e-10
+    assert float(jnp.linalg.norm(r.x - xt)) < 1e-8
+    # matvec cost stays in the reference's ballpark (89 vs its lucky 70)
+    assert int(r.matvecs) < 200
