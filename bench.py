@@ -98,15 +98,23 @@ def main():
     conv = float(np.mean(np.asarray(r.converged)))
     assert conv == 1.0, f"warm-up convergence {conv} != 1.0"
 
-    # Single-dispatch wall (min-of-3, perturbed b per rep: the axon layer
-    # caches identical dispatches; the tunnel adds +-10% run-to-run noise).
+    # Single-dispatch wall (min-of-3, randomly perturbed b per rep).  Two
+    # timing-integrity rules learned the hard way (round 3): (a) the
+    # perturbation must be RANDOM NOISE — a uniform scalar shift of 1e-4
+    # falls below the f32 ulp of |b| ~ 1e3 and leaves most entries bitwise
+    # unchanged; (b) the timing fence must be a HOST SCALAR
+    # MATERIALIZATION — on the remote-execution backend block_until_ready
+    # can return before the computation finishes (measured 3 ms "walls"
+    # for a 0.65 s solve).
+    key = jax.random.PRNGKey(11)
     singles = []
     for rep in range(3):
-        b_rep = bs + 1e-4 * (rep + 1)
+        key, sub = jax.random.split(key)
+        b_rep = bs + 1e-3 * jax.random.normal(sub, bs.shape, bs.dtype)
         b_rep.block_until_ready()
         t0 = time.perf_counter()
         r = run(b_rep)
-        r.x.block_until_ready()
+        _ = float(jnp.sum(r.x))
         singles.append(time.perf_counter() - t0)
     single = min(singles)
 
@@ -116,13 +124,18 @@ def main():
     walls = []
     last = None
     for trial in range(2):
-        bs_l = [bs + 1e-4 * (10 * (trial + 1) + i) for i in range(PIPELINE)]
+        keys = jax.random.split(jax.random.PRNGKey(100 + trial), PIPELINE)
+        bs_l = [bs + 1e-3 * jax.random.normal(k, bs.shape, bs.dtype)
+                for k in keys]
         for b_ in bs_l:
             b_.block_until_ready()
         t0 = time.perf_counter()
         outs = [run(b_) for b_ in bs_l]
-        for o in outs:
-            o.x.block_until_ready()
+        # One host scalar pull on the LAST output fences the whole pipeline:
+        # device execution is in-order, so its completion implies all prior
+        # batches completed (block_until_ready alone is not a reliable
+        # fence on this backend — see the single-dispatch comment).
+        _ = float(jnp.sum(outs[-1].x))
         walls.append((time.perf_counter() - t0) / PIPELINE)
         last = outs[-1]
     el = min(walls)

@@ -47,15 +47,21 @@ def run_dtype(dtype_name, tol):
 
     run = jax.jit(jax.vmap(lambda A, b: pcg_solve(DenseOperator(A), b,
                                                   proj=proj, config=cfg)))
+    # Host-scalar-materialized timing + random perturbations — see
+    # benchmark_illcond.py: block_until_ready is not a reliable fence on
+    # the remote-execution backend, and scalar shifts can fall below the
+    # working dtype's ulp of |b|.
     r = run(As, bs)
-    jax.block_until_ready(r.x)
+    _ = float(jnp.sum(r.x))
     walls = []
+    key = jax.random.PRNGKey(3)
     for rep in range(REPS):
-        b2 = bs + jnp.asarray(1e-4 * (rep + 1), dtype)
+        key, sub = jax.random.split(key)
+        b2 = bs + 1e-3 * jax.random.normal(sub, bs.shape, dtype)
         b2.block_until_ready()
         t0 = time.perf_counter()
         r = run(As, b2)
-        jax.block_until_ready(r.x)
+        _ = float(jnp.sum(r.x))
         walls.append(time.perf_counter() - t0)
     wall = min(walls)
     mv_max = int(np.max(np.asarray(r.matvecs)))

@@ -51,9 +51,14 @@ def main(B=512, n=1000, steps=20, seed=0):
         mv_total = 0
         t_total = 0.0
         conv_all = True
-        # Warm-up compile once outside the timed sequence.
-        r = solve_batched("pcg", As, b, x0=x0, proj=proj, config=cfg)
+        # Warm-up compile once outside the timed sequence — for BOTH jit
+        # signatures the warm run uses (x0=None on step 1, x0=array after).
+        r = solve_batched("pcg", As, b, x0=None, proj=proj, config=cfg)
         _ = float(jnp.sum(r.x))
+        if warm:
+            r = solve_batched("pcg", As, b, x0=jnp.zeros_like(b), proj=proj,
+                              config=cfg)
+            _ = float(jnp.sum(r.x))
         for t in range(steps):
             key, sub = jax.random.split(key)
             b = b + DRIFT * bscale * jax.random.normal(sub, b.shape, b.dtype)

@@ -162,6 +162,7 @@ def _solve(A, b, x0, proj, config):
         return _solve_rr(op, b, x0, proj, config, prec, tiny)
 
     g0 = op.matvec(x0) + b
+    x0 = proj.snap_binding(x0, g0)
     m0 = proj.binding_mask(x0, g0)
     r0 = -m0 * g0
     z0 = m0 * prec(r0)
@@ -187,6 +188,13 @@ def _solve(A, b, x0, proj, config):
         # project() only clears fp dust: the step is feasible by construction.
         x = proj.project(s.x + alpha * s.p)
         g = s.g + alpha * Ap
+        # Snap newly-binding coordinates exactly onto their bound: a
+        # CG-limited step can stop inside the at-bound proximity band, and
+        # without the snap the mask freezes the coordinate a band-width
+        # short — a permanent Eq.25 floor of |g_i|*dist/gd (see
+        # Projection.snap_binding).  The <=32-ulp move is below one
+        # matvec's rounding in the gradient carry.
+        x = proj.snap_binding(x, g)
         m = proj.binding_mask(x, g)
         changed = jnp.any(m != s.m)
         r = -m * g
@@ -266,6 +274,7 @@ def _solve_rr(op, b, x0, proj, config, prec, tiny):
         alpha = jnp.minimum(alpha_cg, jnp.maximum(alpha_f, 0.0))
         x = proj.project(t.x + alpha * t.p)
         g = t.g + alpha * Ap
+        x = proj.snap_binding(x, g)       # see the plain body / snap_binding
         m = proj.binding_mask(x, g)
         changed = jnp.any(m != t.m)
         r = -m * g
@@ -319,6 +328,7 @@ def _solve_rr(op, b, x0, proj, config, prec, tiny):
                         record_trace(s.trace, s.it, res))
 
     g0 = op.matvec_exact(x0) + b
+    x0 = proj.snap_binding(x0, g0)
     m0 = proj.binding_mask(x0, g0)
     res0 = pg_residual(proj, x0, g0, config.gd, op)
     s0 = _RROuter(x=x0, g=g0, m=m0, p=jnp.zeros_like(b),

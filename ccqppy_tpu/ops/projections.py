@@ -150,6 +150,19 @@ class Projection:
         n = self.normal(self.project(x))
         return (n == 0).astype(x.dtype)
 
+    def snap_binding(self, x, g):
+        """Place every coordinate that ``binding_mask`` binds EXACTLY on its
+        bound.  A CG-limited step can stop inside the ``_at_bound`` proximity
+        band (16 ulp) of a bound whose gradient points outward; the mask then
+        freezes the coordinate a band-width SHORT of the bound, leaving a
+        permanent Eq.25 violation of ~|g_i| * dist/gd — measured: 2% of
+        drifted-Wishart box lanes stalled at residual 3.7e-4 against tol 2e-5
+        for their whole budget (f32, n=1000).  Snapping moves x by at most
+        the band (<= 32 ulp relative), whose effect on a carried gradient is
+        below one matvec's own rounding error.  Default (sound for any set):
+        no snap.  Bounded sets override with the exact bound assignment."""
+        return x
+
     #: True when the set is an intersection of half-spaces aligned with the
     #: implementation's exact max_feasible_step/binding_mask (identity,
     #: bounds, box, and compositions thereof).  The ``pcg`` face solver
@@ -234,6 +247,10 @@ class LowerBoundProj(Projection):
         # (descent -g would decrease x below lb).
         return jnp.where(_at_bound(x, self.lb) & (g > 0), 0.0, 1.0).astype(x.dtype)
 
+    def snap_binding(self, x, g):
+        return jnp.where(_at_bound(x, self.lb) & (g > 0),
+                         jnp.broadcast_to(self.lb, x.shape).astype(x.dtype), x)
+
     def max_feasible_step(self, x, p):
         # x - a p >= lb  =>  for p_i > 0: a <= (x_i - lb_i) / p_i.
         inf = jnp.asarray(jnp.inf, x.dtype)
@@ -273,6 +290,10 @@ class UpperBoundProj(Projection):
 
     def binding_mask(self, x, g):
         return jnp.where(_at_bound(x, self.ub) & (g < 0), 0.0, 1.0).astype(x.dtype)
+
+    def snap_binding(self, x, g):
+        return jnp.where(_at_bound(x, self.ub) & (g < 0),
+                         jnp.broadcast_to(self.ub, x.shape).astype(x.dtype), x)
 
     def max_feasible_step(self, x, p):
         inf = jnp.asarray(jnp.inf, x.dtype)
@@ -326,6 +347,12 @@ class BoxProj(Projection):
         blocked = (_at_bound(x, self.lb) & (g > 0)) | \
                   (_at_bound(x, self.ub) & (g < 0))
         return jnp.where(blocked, 0.0, 1.0).astype(x.dtype)
+
+    def snap_binding(self, x, g):
+        x = jnp.where(_at_bound(x, self.lb) & (g > 0),
+                      jnp.broadcast_to(self.lb, x.shape).astype(x.dtype), x)
+        return jnp.where(_at_bound(x, self.ub) & (g < 0),
+                         jnp.broadcast_to(self.ub, x.shape).astype(x.dtype), x)
 
     def max_feasible_step(self, x, p):
         inf = jnp.asarray(jnp.inf, x.dtype)
@@ -580,6 +607,9 @@ class BlockwiseProj(Projection):
         m = self._child_map("binding_mask", x, g)
         return m.reshape(x.shape)
 
+    def snap_binding(self, x, g):
+        return self._child_map("snap_binding", x, g).reshape(x.shape)
+
     def max_feasible_step(self, x, p):
         steps = self._child_map("max_feasible_step", x, p)
         return jnp.min(steps)
@@ -651,6 +681,12 @@ class ProductProj(Projection):
     def binding_mask(self, x, g):
         xs, gs = self._slices(x), self._slices(g)
         parts = [c.binding_mask(xi, gi) for c, xi, gi in zip(self.children, xs, gs)]
+        return jnp.concatenate(parts, axis=-1)
+
+    def snap_binding(self, x, g):
+        xs, gs = self._slices(x), self._slices(g)
+        parts = [c.snap_binding(xi, gi)
+                 for c, xi, gi in zip(self.children, xs, gs)]
         return jnp.concatenate(parts, axis=-1)
 
     def max_feasible_step(self, x, p):
@@ -748,6 +784,9 @@ class SegmentProj(Projection):
 
     def binding_mask(self, x, g):
         return self._map_scatter("binding_mask", x, g)
+
+    def snap_binding(self, x, g):
+        return self._map_scatter("snap_binding", x, g)
 
     def max_feasible_step(self, x, p):
         steps = []

@@ -342,3 +342,69 @@ def test_blockwise_per_block_params_matches_segment():
     rb = solve_batched("pcg", Ab, bb, proj=bw, config=cfg)
     assert bool(np.all(np.asarray(rb.converged)))
     np.testing.assert_array_equal(np.asarray(rb.x[0]), np.asarray(r_bw.x))
+
+
+class TestSnapBinding:
+    """snap_binding: coordinates the mask binds land EXACTLY on their bound
+    (a CG-limited step can stop inside the 16-ulp at-bound band; freezing it
+    there leaves a permanent Eq.25 violation — models/pcg.py)."""
+
+    def test_box_snap(self):
+        dt = jnp.float32
+        lb, ub = -jnp.ones(4, dt), jnp.ones(4, dt)
+        p = P.box(lb, ub, dt)
+        eps = float(jnp.finfo(dt).eps)
+        x = jnp.asarray([1.0 - 8 * eps,     # in band, outward g  -> snap
+                         1.0 - 8 * eps,     # in band, inward g   -> keep
+                         0.5,               # interior            -> keep
+                         -1.0 + 8 * eps],   # in band at lb, outward -> snap
+                        dt)
+        g = jnp.asarray([-1.0, +1.0, -1.0, +1.0], dt)
+        xs = p.snap_binding(x, g)
+        assert float(xs[0]) == 1.0
+        assert float(xs[1]) == float(x[1])
+        assert float(xs[2]) == 0.5
+        assert float(xs[3]) == -1.0
+        # snapped coords are exactly the ones the mask binds
+        m = p.binding_mask(xs, g)
+        np.testing.assert_array_equal(np.asarray(m), [0.0, 1.0, 1.0, 0.0])
+
+    def test_composites_delegate(self):
+        dt = jnp.float32
+        eps = float(jnp.finfo(dt).eps)
+        x = jnp.asarray([1.0 - 8 * eps, 0.0, 0.3] * 2, dt)
+        g = jnp.asarray([-1.0, 0.0, 0.0] * 2, dt)
+        child = P.box(-jnp.ones(3, dt), jnp.ones(3, dt), dt)
+        for proj in (P.blockwise(child, 3),
+                     P.ProductProj.make((child, 3), (child, 3))):
+            xs = proj.snap_binding(x, g)
+            assert float(xs[0]) == 1.0 and float(xs[3]) == 1.0
+            np.testing.assert_allclose(np.asarray(xs[1:3]),
+                                       np.asarray(x[1:3]), rtol=0)
+
+    def test_pcg_converges_from_band_stall_point(self):
+        """Functional repro of the drifted-ensemble stall: a coordinate
+        parked just inside the at-bound band with a large outward gradient.
+        Without the snap the mask freezes it a band-width short of the bound
+        and the solver spins to its budget at residual ~|g_i|/(3n) (measured
+        on 2% of drifted Wishart lanes); with it, PCG must converge and land
+        the coordinate exactly on the bound."""
+        dt = jnp.float32
+        n = 64
+        rng = np.random.default_rng(0)
+        G = rng.standard_normal((n, n)).astype(np.float32)
+        A = jnp.asarray(G @ G.T + n * np.eye(n, dtype=np.float32), dt)
+        # optimum: coordinate 0 active at ub=1 with strong outward gradient
+        x_star = np.clip(rng.uniform(-0.8, 0.8, n), -0.8, 0.8)
+        x_star[0] = 1.0
+        b = -(np.asarray(A) @ x_star).astype(np.float32)
+        b[0] -= 5.0          # g(x_star)[0] = -5: pushes hard into the bound
+        proj = P.box(-jnp.ones(n, dt), jnp.ones(n, dt), dt)
+        eps = float(jnp.finfo(dt).eps)
+        x0 = jnp.asarray(x_star, dt).at[0].set(1.0 - 8 * eps)
+        import ccqppy_tpu as cq
+        from ccqppy_tpu.models import PCGConfig
+        r = cq.models.pcg.solve(A, jnp.asarray(b, dt), x0=x0, proj=proj,
+                                config=PCGConfig(tol=1e-4, max_matvecs=200))
+        assert bool(r.converged), (int(r.matvecs), float(r.residual))
+        assert float(r.x[0]) == 1.0
