@@ -9,12 +9,14 @@ from ccqppy_tpu.utils.random_qp import random_qp_batch
 
 __all__ = ["problems", "random_qp", "random_qp_batch", "BenchmarkRandomCCQP",
            "BenchmarkResult", "default_families", "disjoint_families",
-           "benchmark", "plotting"]
+           "benchmark", "plotting", "timed_run", "TimedRun", "materialize",
+           "dense_sweep_bytes"]
 
 
 def __getattr__(name):
     if name in ("BenchmarkRandomCCQP", "BenchmarkResult", "default_families",
-                "disjoint_families"):
+                "disjoint_families", "timed_run", "TimedRun", "materialize",
+                "dense_sweep_bytes"):
         from ccqppy_tpu.utils import benchmark as _b
         return getattr(_b, name)
     if name in ("benchmark", "problems", "plotting"):

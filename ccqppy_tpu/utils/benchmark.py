@@ -29,6 +29,120 @@ from ccqppy_tpu.models import SOLVERS
 from ccqppy_tpu.parallel.batch import solve_batched
 from ccqppy_tpu.utils.random_qp import random_qp_batch
 
+# v5e paper HBM peak (819 GB/s).  The roofline guard rejects walls implying
+# more than ``margin x`` this rate — a measurement "faster than the memory
+# system" is a leaked fence, not a fast program.
+PEAK_HBM_BYTES_PER_S = 819e9
+
+
+def materialize(tree) -> float:
+    """Pull EVERY array leaf of ``tree`` to the host and return a checksum.
+
+    This is the only trustworthy timing fence on this backend: on the
+    remote-execution tunnel ``block_until_ready`` can return before the
+    computation finishes (measured round 3: 3 ms "walls" for a 0.65 s
+    solve), and a scalar-sum fence materializes only one reduction — a
+    partially-leaked graph can still satisfy it.  A full device-to-host
+    transfer of every output cannot complete before the values exist.
+    """
+    total = 0.0
+    for leaf in jax.tree.leaves(tree):
+        arr = np.asarray(leaf)
+        if arr.dtype.kind in "fc":
+            total += float(np.nansum(np.abs(arr), dtype=np.float64))
+        elif arr.dtype.kind in "iub":
+            total += float(np.sum(arr, dtype=np.int64))
+    return total
+
+
+@dataclasses.dataclass
+class TimedRun:
+    """Result of a guarded timing measurement (``timed_run``)."""
+
+    wall_s: float            # min credible wall over the accepted reps
+    walls: list              # every accepted rep wall
+    rejected: list           # walls rejected by the roofline guard
+    result: object           # output pytree of the final rep
+    implied_bytes: float | None = None
+
+    @property
+    def implied_gbps(self):
+        if self.implied_bytes is None:
+            return None
+        return self.implied_bytes / self.wall_s / 1e9
+
+
+def timed_run(fn, *args, reps=3, implied_bytes=None,
+              peak_bytes_per_s=PEAK_HBM_BYTES_PER_S, margin=2.0,
+              make_args=None, warmup=True):
+    """Roofline-guarded wall-clock measurement of ``fn(*args)``.
+
+    Centralizes the two timing-integrity rules every benchmark in this repo
+    must follow (a 320x-inflated wall survived round 3 because one script
+    hand-rolled ``min(walls)`` over a leaked scalar fence — VERDICT r3):
+
+    1. **Fence = full-output materialization.**  Each rep is closed by
+       ``materialize`` — every output leaf transferred to host — never by
+       ``block_until_ready`` or a scalar sum.
+    2. **Roofline sanity.**  When the caller supplies ``implied_bytes`` (the
+       HBM traffic the measured computation must at least move — e.g.
+       ``B * sweeps * n*n * 4`` for a batched dense solve), any rep whose
+       wall implies ``> margin x peak_bytes_per_s`` is re-measured once and
+       rejected if it persists; if EVERY rep is rejected the measurement
+       raises rather than report a physically impossible number.
+
+    ``make_args(rep) -> tuple`` replaces ``args`` per rep (fresh perturbed
+    inputs); the returned arrays are materialized before the clock starts.
+    ``warmup`` runs one untimed call first (compile + tunnel grant).
+
+    Returns a ``TimedRun``; ``wall_s`` is the min accepted wall (device
+    execution is deterministic — min is the least-noise estimate ONCE each
+    rep is individually credible, which the guard now enforces).
+    """
+    if warmup:
+        a = make_args(-1) if make_args is not None else args
+        materialize(fn(*a))
+    walls, rejected = [], []
+    result = None
+    floor = None
+    if implied_bytes is not None:
+        floor = float(implied_bytes) / (margin * peak_bytes_per_s)
+
+    def one_rep(rep):
+        a = make_args(rep) if make_args is not None else args
+        materialize(a)                      # inputs resident before t0
+        t0 = time.perf_counter()
+        out = fn(*a)
+        materialize(out)
+        return time.perf_counter() - t0, out
+
+    for rep in range(reps):
+        wall, result = one_rep(rep)
+        if floor is not None and wall < floor:
+            # Implied bandwidth above margin x peak: re-measure once.
+            wall2, result = one_rep(rep)
+            if wall2 < floor:
+                rejected.extend([wall, wall2])
+                continue
+            rejected.append(wall)
+            wall = wall2
+        walls.append(wall)
+    if not walls:
+        raise RuntimeError(
+            f"timed_run: every rep implied > {margin:g}x the HBM roofline "
+            f"({peak_bytes_per_s / 1e9:.0f} GB/s): walls {rejected} vs "
+            f"credible floor {floor:.4g}s for {implied_bytes:.3g} bytes — "
+            "the timing fence is leaking; refusing to report")
+    return TimedRun(wall_s=min(walls), walls=walls, rejected=rejected,
+                    result=result, implied_bytes=implied_bytes)
+
+
+def dense_sweep_bytes(batch, n, sweeps, dtype_bytes=4):
+    """HBM bytes a batched dense solve must at least move: ``sweeps`` full
+    reads of the (n, n) Hessian per lane.  Use as ``timed_run``'s
+    ``implied_bytes`` with a CONSERVATIVE (lower-bound) sweep count."""
+    return float(batch) * float(sweeps) * float(n) * float(n) * dtype_bytes
+
 
 @dataclasses.dataclass
 class BenchmarkResult:
