@@ -7,17 +7,27 @@ matching the disjoint-family structure of the reference's cone study
 (``/root/reference/benchmarks/benchmark_random_ccqp.py:201-211``) at
 headline scale instead of n<=12.
 
-Solver: MPRGP-BB — the robust curved-set solver (PCG statically delegates
-to it on cones; the BB-projection family stalls on 48-89% of cone lanes,
-benchmarks/results/disjoint_constraints.json).  Under vmap its three-way
-branch executes masked on every lane, so a cone sweep moves ~3 matvecs of
-HBM traffic — the cone ensemble's structural cost over the box ensemble.
+Configuration (round 4, each step measured on chip):
+  * fused single-sweep MPRGP-BB (models/mprgp.py ``MPRGPConfig.fused``):
+    ONE HBM sweep of A per iteration — the classic three-branch body moves
+    up to 4 masked sweeps under vmap (measured 1,143 -> 1,548 solves/s
+    single-dispatch on this exact ensemble);
+  * cone-Jacobi warm start x0 = proj_cone(-b / diag A) (saves ~1 sweep at
+    p50 and shortens the straggler tail);
+  * fused straggler compaction (phase1=43 sweeps ~ p95, bucket=256): the
+    sweep distribution is p50 40 / p95 42 / max ~60, so the batched loop
+    otherwise drags every lane to the slowest lane's count;
+  * pipelined steady-state timing (K=10 batches in flight, one fence) for
+    the serving number, single-dispatch alongside — both through the
+    roofline-guarded ``timed_run`` (utils/benchmark.py), full-output
+    materialization fence.  The bf16->f32 ladder was measured and REJECTED
+    for this workload: 1.8k solves/s (bf16 GEMV lowers at ~425 GB/s
+    effective; the polish restart erases the byte win).
 
-Reference counterpart measured in this container (BASELINE.md method,
-CCQPSolverMPRGP f64 serial on the identical ensemble definition): the
-reference has no working cone projection at all (its ConeProjOp is flagged
-bugged in its own source), so the honest baseline is the box-family
-reference throughput 157.7 solves/s.
+Reference counterpart measured in this container (BASELINE.md method):
+the reference has no working cone projection at all (its ConeProjOp is
+flagged bugged in its own source, ``solution_spaces.py:439``), so the
+honest baseline is the box-family reference throughput 157.7 solves/s.
 
 Writes benchmarks/results/cone_ensemble.json.
 """
@@ -34,7 +44,9 @@ N = 999            # 333 cone blocks
 BATCH = 1024
 TOL = 1e-5
 BUDGET = 2000
-REPS = 3
+PHASE1 = 43        # ~p95 of the warm-started sweep distribution
+BUCKET = 256
+PIPELINE = 10
 
 
 def main():
@@ -45,9 +57,13 @@ def main():
 
     from ccqppy_tpu.models import SOLVERS
     from ccqppy_tpu.models.base import pg_residual
+    from ccqppy_tpu.models.mprgp import MPRGPBBConfig
     from ccqppy_tpu.ops import projections as P
     from ccqppy_tpu.ops.linop import DenseOperator
-    from ccqppy_tpu.parallel import prepare_dense_batch, solve_batched
+    from ccqppy_tpu.parallel import (prepare_dense_batch, solve_batched,
+                                     solve_batched_fused_compact)
+    from ccqppy_tpu.utils.benchmark import (dense_sweep_bytes, materialize,
+                                            timed_run)
     from ccqppy_tpu.utils.random_qp import random_qp_batch
 
     As, bs, _ = random_qp_batch(jax.random.PRNGKey(0), BATCH, N,
@@ -55,65 +71,108 @@ def main():
     As.block_until_ready()
     As = prepare_dense_batch(As)
     proj = P.blockwise(P.lorentz_cone(1.0), 3)
+    diag = jnp.diagonal(As, axis1=-2, axis2=-1)
+    diag.block_until_ready()
+    jac_x0 = jax.jit(lambda b_: jax.vmap(proj.project)(-b_ / diag))
 
     res_audit = jax.jit(jax.vmap(
         lambda A, b, x: pg_residual(proj, x,
                                     DenseOperator(A).matvec(x) + b,
                                     1e-6, DenseOperator(A))))
 
+    def perturbed(tag, rep):
+        k = jax.random.fold_in(jax.random.PRNGKey(tag), rep + 1)
+        # Random noise at ~1e-3 |b|: a uniform scalar shift would fall
+        # below the f32 ulp of |b| and leave most entries bitwise unchanged.
+        return bs + 1e-3 * jax.random.normal(k, bs.shape, bs.dtype)
+
+    # Conservative implied-traffic floor for the roofline guard: p50 ~ 40
+    # sweeps; use 2/3 of that so honest run-to-run variance never trips it.
+    implied = dense_sweep_bytes(BATCH, N, 27)
+
     rows = []
-    for name in ("mprgp_bb", "spg"):
-        fn, cfg_cls = SOLVERS[name]
-        kwargs = {"tol": TOL, "max_matvecs": BUDGET}
-        if name == "spg":
-            kwargs["criterion"] = "eq25"   # honest stop on curved sets
-        cfg = cfg_cls(**kwargs)
 
-        def run(b, _fn=fn, _cfg=cfg, _name=name):
-            kw = {}
-            if _name == "spg":
-                kw["keys"] = jax.random.split(jax.random.PRNGKey(1), BATCH)
-            return solve_batched(_name, As, b, proj=proj, config=_cfg, **kw)
-
-        # Timing closed by HOST SCALAR MATERIALIZATION (float(sum)) — on the
-        # remote-execution backend block_until_ready can return before the
-        # computation actually finishes (measured: 3 ms "walls" for a
-        # 0.65 s solve), so only a host transfer is a reliable fence.
-        # Perturbations are random noise at ~1e-3 |b| scale: uniform scalar
-        # shifts below the f32 ulp of |b| ~ 1e3 leave most entries bitwise
-        # unchanged.
-        r = run(bs)
-        _ = float(jnp.sum(r.x))
-        walls, last, key = [], r, jax.random.PRNGKey(2)
-        b2 = bs
-        for rep in range(REPS):
-            key, sub = jax.random.split(key)
-            b2 = bs + 1e-3 * jax.random.normal(sub, bs.shape, bs.dtype)
-            b2.block_until_ready()
-            t0 = time.perf_counter()
-            last = run(b2)
-            _ = float(jnp.sum(last.x))
-            walls.append(time.perf_counter() - t0)
-        wall = min(walls)
-        tres = np.asarray(res_audit(As, b2, last.x))
+    def audit_row(name, wall, r, b_used, extra=None):
+        tres = np.asarray(res_audit(As, b_used, r.x))
+        mvs = np.asarray(r.matvecs)
         row = {
             "solver": name, "n": N, "B": BATCH, "tol": TOL,
             "wall_s": round(wall, 4),
             "solves_per_s": round(BATCH / wall, 1),
-            "converged": float(np.mean(np.asarray(last.converged))),
-            "matvecs_p50": float(np.median(np.asarray(last.matvecs))),
-            "matvecs_max": int(np.max(np.asarray(last.matvecs))),
+            "converged": float(np.mean(np.asarray(r.converged))),
+            "matvecs_p50": float(np.median(mvs)),
+            "matvecs_max": int(np.max(mvs)),
             "true_residual_max": float(tres.max()),
+            "implied_gbps": round(
+                BATCH * np.mean(mvs) * N * N * 4 / wall / 1e9, 1),
         }
+        if extra:
+            row.update(extra)
         rows.append(row)
-        print(f"{name:<9} {row['solves_per_s']:8.1f} solves/s "
+        print(f"{name:<28} {row['solves_per_s']:8.1f} solves/s "
               f"(conv {row['converged']:.3f}, p50 {row['matvecs_p50']:.0f} mv, "
-              f"true res max {row['true_residual_max']:.2e})")
+              f"true res max {row['true_residual_max']:.2e}, "
+              f"~{row['implied_gbps']} GB/s implied)", flush=True)
+        return row
+
+    # --- headline config: fused MPRGP-BB + cone-Jacobi x0 + compaction ----
+    cfg = MPRGPBBConfig(tol=TOL, max_matvecs=BUDGET, fused=True)
+
+    def run_headline(b_):
+        return solve_batched_fused_compact(
+            "mprgp_bb", As, b_, PHASE1, x0=jac_x0(b_), proj=proj,
+            config=cfg, bucket=BUCKET, host_fallback=False)
+
+    out = timed_run(run_headline, reps=3, implied_bytes=implied,
+                    make_args=lambda rep: (perturbed(1, rep),))
+    b_last = perturbed(1, 2)
+    audit_row("mprgp_bb fused+compact+x0", out.wall_s, out.result, b_last)
+
+    # Pipelined steady-state: PIPELINE batches in flight, one materialize
+    # fence on the last output (device execution is in-order).
+    walls = []
+    last, b_pipe_last = None, None
+    for trial in range(2):
+        bs_l = [perturbed(100 + trial, i) for i in range(PIPELINE)]
+        for b_ in bs_l:
+            b_.block_until_ready()
+        t0 = time.perf_counter()
+        outs = [run_headline(b_) for b_ in bs_l]
+        materialize(outs[-1])
+        wall = (time.perf_counter() - t0) / PIPELINE
+        floor = implied / (2 * 819e9)
+        assert wall > floor, f"pipelined wall {wall} under roofline floor"
+        walls.append(wall)
+        last, b_pipe_last = outs[-1], bs_l[-1]
+    headline = audit_row("mprgp_bb pipelined (headline)", min(walls), last,
+                         b_pipe_last, {"pipeline_depth": PIPELINE})
+    assert headline["converged"] == 1.0
+
+    # --- comparison rows: plain fused solve, and SPG ----------------------
+    out = timed_run(
+        lambda b_: solve_batched("mprgp_bb", As, b_, proj=proj, config=cfg),
+        reps=2, implied_bytes=implied,
+        make_args=lambda rep: (perturbed(2, rep),))
+    audit_row("mprgp_bb fused plain", out.wall_s, out.result,
+              perturbed(2, 1))
+
+    spg_cfg = SOLVERS["spg"][1](tol=TOL, max_matvecs=BUDGET,
+                                criterion="eq25")
+    keys = jax.random.split(jax.random.PRNGKey(1), BATCH)
+    out = timed_run(
+        lambda b_: solve_batched("spg", As, b_, proj=proj, config=spg_cfg,
+                                 keys=keys),
+        reps=2, implied_bytes=implied,
+        make_args=lambda rep: (perturbed(3, rep),))
+    audit_row("spg", out.wall_s, out.result, perturbed(3, 1))
 
     OUT.mkdir(exist_ok=True)
     meta = {"backend": jax.default_backend(),
             "workload": f"B={BATCH} n={N} Lorentz-cone (333 x dim-3, mu=1) "
                         f"QPs, conditioned Wishart, tol {TOL:g}",
+            "timing": "roofline-guarded timed_run, full-output "
+                      "materialization fence (utils/benchmark.py); "
+                      "headline = steady-state pipelined dispatch",
             "rows": rows}
     (OUT / "cone_ensemble.json").write_text(json.dumps(meta, indent=1))
     print("wrote benchmarks/results/cone_ensemble.json")

@@ -147,6 +147,8 @@ def _solve(A, b, x0, proj, config):
         cfg = mprgp.MPRGPBBConfig(tol=config.tol,
                                   max_matvecs=config.max_matvecs,
                                   gd=config.gd, trace_len=config.trace_len)
+        if cfg.fused:   # the single-sweep default (MPRGPConfig.fused)
+            return mprgp._solve_fused(op, b, x0, proj, cfg, bb_variant=True)
         return mprgp._solve(op, b, x0, proj, cfg, bb_variant=True)
     x0 = default_x0(b, x0, proj)
     tiny = eps_of(b)

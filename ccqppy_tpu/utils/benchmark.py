@@ -110,7 +110,13 @@ def timed_run(fn, *args, reps=3, implied_bytes=None,
 
     def one_rep(rep):
         a = make_args(rep) if make_args is not None else args
-        materialize(a)                      # inputs resident before t0
+        # Inputs need only a DEVICE fence before t0 (they already exist;
+        # at worst a leak here starts the clock early — the honest
+        # direction).  Materializing them would drag multi-GB operand
+        # stacks through the tunnel every rep.
+        for leaf in jax.tree.leaves(a):
+            if hasattr(leaf, "block_until_ready"):
+                leaf.block_until_ready()
         t0 = time.perf_counter()
         out = fn(*a)
         materialize(out)

@@ -259,3 +259,39 @@ def test_apgd_deep_tolerance_backtrack_robustness():
     assert float(jnp.linalg.norm(r.x - xt)) < 1e-8
     # matvec cost stays in the reference's ballpark (89 vs its lucky 70)
     assert int(r.matvecs) < 200
+
+
+@pytest.mark.parametrize("solver_name", ["mprgp", "mprgp_bb"])
+@pytest.mark.parametrize("family", ["box", "cone"])
+def test_mprgp_fused_matches_unfused(solver_name, family):
+    """The single-sweep fused formulation (MPRGPConfig.fused, default) must
+    visit the same trajectory as the reference-shaped three-branch body:
+    same solutions, same convergence, matvec totals within the documented
+    +1 BB-seed delta (and fp-noise trajectory divergence on curved sets,
+    where a branch decision near its boundary can flip — bounded here to a
+    few sweeps on a 32-lane Wishart ensemble)."""
+    import dataclasses
+
+    import jax
+
+    from ccqppy_tpu.parallel import solve_batched
+    from ccqppy_tpu.utils.random_qp import random_qp_batch
+
+    B, n = 32, 60
+    As, bs, _ = random_qp_batch(jax.random.PRNGKey(0), B, n, jnp.float64,
+                                diag_boost=1.0)
+    proj = (P.box(-jnp.ones(n, jnp.float64), jnp.ones(n, jnp.float64),
+                  jnp.float64) if family == "box"
+            else P.blockwise(P.lorentz_cone(1.0, dtype=jnp.float64), 3))
+    fn, cfg_cls = SOLVERS[solver_name]
+    cfg = cfg_cls(tol=1e-6, max_matvecs=2000, fused=True)
+    rf = solve_batched(fn, As, bs, proj=proj, config=cfg)
+    ru = solve_batched(fn, As, bs, proj=proj,
+                       config=dataclasses.replace(cfg, fused=False))
+    assert bool(jnp.all(rf.converged)) and bool(jnp.all(ru.converged))
+    np.testing.assert_allclose(np.asarray(rf.x), np.asarray(ru.x),
+                               atol=5e-6)
+    dmv = np.asarray(rf.matvecs) - np.asarray(ru.matvecs)
+    assert np.abs(dmv).max() <= 6, f"matvec totals diverged: {dmv}"
+    # every lane's fused residual is genuinely below tol
+    assert float(jnp.max(rf.residual)) < 1e-6
