@@ -98,48 +98,52 @@ def main():
     conv = float(np.mean(np.asarray(r.converged)))
     assert conv == 1.0, f"warm-up convergence {conv} != 1.0"
 
-    # Single-dispatch wall (min-of-3, randomly perturbed b per rep).  Two
-    # timing-integrity rules learned the hard way (round 3): (a) the
-    # perturbation must be RANDOM NOISE — a uniform scalar shift of 1e-4
-    # falls below the f32 ulp of |b| ~ 1e3 and leaves most entries bitwise
-    # unchanged; (b) the timing fence must be a HOST SCALAR
-    # MATERIALIZATION — on the remote-execution backend block_until_ready
-    # can return before the computation finishes (measured 3 ms "walls"
-    # for a 0.65 s solve).
-    key = jax.random.PRNGKey(11)
-    singles = []
-    for rep in range(3):
-        key, sub = jax.random.split(key)
-        b_rep = bs + 1e-3 * jax.random.normal(sub, bs.shape, bs.dtype)
-        b_rep.block_until_ready()
-        t0 = time.perf_counter()
-        r = run(b_rep)
-        _ = float(jnp.sum(r.x))
-        singles.append(time.perf_counter() - t0)
-    single = min(singles)
+    # Single-dispatch wall through the shared roofline-guarded harness
+    # (utils/benchmark.py timed_run): full-output materialization fence,
+    # walls implying > 2x the 819 GB/s HBM peak rejected, and EVERY timed
+    # rep's convergence asserted (not just the warm-up's).  Perturbations
+    # are random noise — a uniform scalar shift of 1e-4 falls below the
+    # f32 ulp of |b| ~ 1e3 and leaves most entries bitwise unchanged.
+    from ccqppy_tpu.utils.benchmark import (dense_sweep_bytes, materialize,
+                                            timed_run)
+
+    def perturbed(tag, rep):
+        k = jax.random.fold_in(jax.random.PRNGKey(tag), rep + 1)
+        return bs + 1e-3 * jax.random.normal(k, bs.shape, bs.dtype)
+
+    def check(r_):
+        c = float(np.mean(np.asarray(r_.converged)))
+        assert c == 1.0, f"timed rep convergence {c} != 1.0"
+
+    # Conservative traffic floor: 10 full-batch f32 sweeps (p50 is ~15).
+    implied = dense_sweep_bytes(BATCH, N, 10)
+    out = timed_run(run, reps=3, implied_bytes=implied,
+                    make_args=lambda rep: (perturbed(11, rep),),
+                    warmup=False, check=check)
+    single = out.wall_s
 
     # Steady-state (headline): PIPELINE perturbed batches dispatched
     # back-to-back, one sync.  Overlaps the ~160 ms/dispatch tunnel overhead
     # with device execution — the serving-throughput number.
     walls = []
-    last = None
+    outs = []
     for trial in range(2):
-        keys = jax.random.split(jax.random.PRNGKey(100 + trial), PIPELINE)
-        bs_l = [bs + 1e-3 * jax.random.normal(k, bs.shape, bs.dtype)
-                for k in keys]
+        bs_l = [perturbed(100 + trial, i) for i in range(PIPELINE)]
         for b_ in bs_l:
             b_.block_until_ready()
         t0 = time.perf_counter()
         outs = [run(b_) for b_ in bs_l]
-        # One host scalar pull on the LAST output fences the whole pipeline:
-        # device execution is in-order, so its completion implies all prior
+        # Materializing the LAST output fences the whole pipeline: device
+        # execution is in-order, so its completion implies all prior
         # batches completed (block_until_ready alone is not a reliable
-        # fence on this backend — see the single-dispatch comment).
-        _ = float(jnp.sum(outs[-1].x))
-        walls.append((time.perf_counter() - t0) / PIPELINE)
-        last = outs[-1]
+        # fence on this backend).
+        materialize(outs[-1])
+        wall = (time.perf_counter() - t0) / PIPELINE
+        assert wall > implied / (2 * 819e9), "pipelined wall under roofline"
+        walls.append(wall)
     el = min(walls)
-    assert bool(np.all(np.asarray(last.converged))), "timed run unconverged"
+    for r_ in outs:      # every timed batch of the reported trial converged
+        check(r_)
     value = BATCH / el
 
     result = {

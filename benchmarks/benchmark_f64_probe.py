@@ -47,23 +47,19 @@ def run_dtype(dtype_name, tol):
 
     run = jax.jit(jax.vmap(lambda A, b: pcg_solve(DenseOperator(A), b,
                                                   proj=proj, config=cfg)))
-    # Host-scalar-materialized timing + random perturbations — see
-    # benchmark_illcond.py: block_until_ready is not a reliable fence on
-    # the remote-execution backend, and scalar shifts can fall below the
-    # working dtype's ulp of |b|.
-    r = run(As, bs)
-    _ = float(jnp.sum(r.x))
-    walls = []
-    key = jax.random.PRNGKey(3)
-    for rep in range(REPS):
-        key, sub = jax.random.split(key)
-        b2 = bs + 1e-3 * jax.random.normal(sub, bs.shape, dtype)
-        b2.block_until_ready()
-        t0 = time.perf_counter()
-        r = run(As, b2)
-        _ = float(jnp.sum(r.x))
-        walls.append(time.perf_counter() - t0)
-    wall = min(walls)
+    # Roofline-guarded shared harness (utils/benchmark.py): full-output
+    # materialization fence + physically-impossible-wall rejection; reps
+    # perturb b with random noise above the working dtype's ulp of |b|.
+    from ccqppy_tpu.utils.benchmark import timed_run
+    itemsize = jnp.dtype(dtype).itemsize
+
+    def mk(rep):
+        k = jax.random.fold_in(jax.random.PRNGKey(3), rep + 1)
+        return (As, bs + 1e-3 * jax.random.normal(k, bs.shape, dtype))
+
+    out = timed_run(run, reps=REPS, make_args=mk,
+                    implied_bytes=float(B) * 8 * N * N * itemsize)
+    wall, r = out.wall_s, out.result
     mv_max = int(np.max(np.asarray(r.matvecs)))
     return {
         "dtype": dtype_name, "tol": tol,

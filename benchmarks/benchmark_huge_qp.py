@@ -80,15 +80,19 @@ def main(n=1_000_000, solver="pcg", seed=0):
     fn, cfg_cls = SOLVERS[solver][0], SOLVERS[solver][1]
     cfg = cfg_cls(tol=TOL, max_matvecs=BUDGET)
 
-    r = fn(op, b, proj=proj, config=cfg)           # warm-up/compile
-    ts = []
-    for rep in range(3):
-        b_rep = b + 1e-6 * (rep + 1)
-        t0 = time.perf_counter()
-        r = fn(op, b_rep, proj=proj, config=cfg)
-        _ = float(jnp.sum(r.x))
-        ts.append(time.perf_counter() - t0)
-    el = min(ts)
+    # Roofline-guarded shared harness (utils/benchmark.py); reps perturb b
+    # with random noise well above the f32 ulp.  Conservative traffic
+    # floor: 20 sweeps of the ELL blocks (PCG needs ~48).
+    from ccqppy_tpu.utils.benchmark import timed_run
+    ell_bytes = op.blocks.size * op.blocks.dtype.itemsize
+
+    def mk(rep):
+        k = jax.random.fold_in(jax.random.PRNGKey(9), rep + 1)
+        return (b + 1e-4 * jax.random.normal(k, b.shape, b.dtype),)
+
+    out = timed_run(lambda b_: fn(op, b_, proj=proj, config=cfg),
+                    reps=3, make_args=mk, implied_bytes=20.0 * ell_bytes)
+    el, r = out.wall_s, out.result
     err = float(jnp.linalg.norm(r.x - x_exact) / jnp.linalg.norm(x_exact))
 
     row = {

@@ -93,29 +93,29 @@ def main():
             return jax.vmap(one)(As, As16, bs, x0)
         return jax.jit(run)
 
-    def timed(fn, *arrs):
-        # Warm-up (compile) + min-of-reps on randomly perturbed b.  Timing
-        # is closed by HOST SCALAR MATERIALIZATION: on the remote-execution
-        # backend block_until_ready can return before the computation
-        # finishes, so only a host transfer is a reliable fence.  The
-        # perturbation is random noise (a uniform scalar shift falls below
-        # the f32 ulp of |b| ~ 1e3 and leaves most entries unchanged).
-        r = fn(*arrs)
-        _ = float(jnp.sum(r.x))
-        walls, last, key = [], r, jax.random.PRNGKey(5)
-        b_last = arrs[-2]
-        for rep in range(args.reps):
-            key, sub = jax.random.split(key)
+    from ccqppy_tpu.utils.benchmark import dense_sweep_bytes, timed_run
+
+    def timed(fn, *arrs, tag=5):
+        # Roofline-guarded shared harness (utils/benchmark.py): full-output
+        # materialization fence, walls implying > 2x HBM peak rejected.
+        # Each rep perturbs b with random noise (a uniform scalar shift
+        # falls below the f32 ulp of |b| ~ 1e3 and leaves most entries
+        # bitwise unchanged).  Conservative traffic floor: 20 f32 sweeps
+        # (the shallowest family's p50 is ~48).
+        holder = {}
+        key = jax.random.PRNGKey(tag)
+
+        def mk(rep):
+            sub = jax.random.fold_in(key, rep + 1)
             a2 = list(arrs)
-            b_last = arrs[-2] + 1e-3 * jax.random.normal(
+            a2[-2] = arrs[-2] + 1e-3 * jax.random.normal(
                 sub, arrs[-2].shape, arrs[-2].dtype)
-            a2[-2] = b_last
-            jax.block_until_ready(a2[-2])
-            t0 = time.perf_counter()
-            last = fn(*a2)
-            _ = float(jnp.sum(last.x))
-            walls.append(time.perf_counter() - t0)
-        return min(walls), last, b_last
+            holder["b"] = a2[-2]
+            return tuple(a2)
+
+        out = timed_run(fn, reps=args.reps, make_args=mk,
+                        implied_bytes=dense_sweep_bytes(B, n, 20))
+        return out.wall_s, out.result, holder["b"]
 
     rows = []
     for boost in args.boosts:

@@ -50,15 +50,24 @@ def main(n=9999, mu=1.0, seed=0):
         fn, cfg_cls = SOLVERS[name]
         kwargs = {"tol": TOL, "max_matvecs": BUDGET}
         cfg = cfg_cls(**kwargs)
-        r = fn(A, b, proj=proj, config=cfg)        # warm-up/compile
-        ts = []
-        for rep in range(3):
-            b_rep = b + 1e-5 * (rep + 1)
-            t0 = time.perf_counter()
-            r = fn(A, b_rep, proj=proj, config=cfg)
-            _ = float(jnp.sum(r.x))
-            ts.append(time.perf_counter() - t0)
-        el = min(ts)
+
+        # Roofline-guarded shared harness; reps perturb b with random noise
+        # at ~1e-4 |b| (a scalar shift would fall below the f32 ulp of
+        # |b| ~ 1e4 and leave b bitwise unchanged).  Conservative traffic
+        # floor: 8 sweeps of the n^2 operand (the cheapest solver does 19).
+        from ccqppy_tpu.utils.benchmark import timed_run
+        holder = {}
+
+        def mk(rep, _name=name):
+            k = jax.random.fold_in(jax.random.PRNGKey(9),
+                                   1000 * SOLVER_NAMES.index(_name) + rep + 1)
+            holder["b"] = b + 1e-4 * jax.random.normal(k, b.shape, b.dtype)
+            return (holder["b"],)
+
+        out = timed_run(lambda b_: fn(A, b_, proj=proj, config=cfg),
+                        reps=3, make_args=mk,
+                        implied_bytes=float(n) * n * 4 * 8)
+        el, r, b_rep = out.wall_s, out.result, holder["b"]
         # audit: true residual and feasibility of the returned iterate
         g = jnp.dot(A, r.x, precision=jax.lax.Precision.HIGHEST) + b_rep
         res_true = float(pg_residual(proj, r.x, g, 1e-6, as_operator(A)))

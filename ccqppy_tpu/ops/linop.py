@@ -214,8 +214,8 @@ class MixedPrecDense(LinearOperator):
     layout-pinned pair (``parallel.prepare_dense_batch(As, jnp.bfloat16)``).
     """
 
-    A: jax.Array          # float32
-    A_low: jax.Array      # bfloat16 (same layout, ideally pinned batch-major)
+    A: jax.Array          # float32 (or float64 for the f64-exact ladder)
+    A_low: jax.Array      # bfloat16/float32 (same layout, ideally pinned)
 
     @staticmethod
     def from_f32(A, dtype=jnp.bfloat16):
@@ -223,8 +223,18 @@ class MixedPrecDense(LinearOperator):
         return MixedPrecDense(A, A.astype(dtype))
 
     def matvec(self, x):
-        return jnp.dot(self.A_low, x.astype(self.A_low.dtype),
-                       preferred_element_type=x.dtype)
+        # Accumulate at max(low dtype, f32), then cast to the carry dtype.
+        # For the bf16 rung this is the native bf16 x bf16 -> f32 MXU op;
+        # for the f64-exact ladder (A f64, A_low f32 — the raw-Wishart
+        # configuration, benchmark_f64_wishart1k.py) it keeps the CHEAP
+        # sweep a fast native-f32 GEMV: requesting f64 accumulation of an
+        # f32 matmul would drop it into the ~30 GB/s emulated-f64 path,
+        # defeating the rung's purpose.
+        acc = x.dtype if self.A_low.dtype == jnp.float64 else (
+            jnp.promote_types(self.A_low.dtype, jnp.float32))
+        y = jnp.dot(self.A_low, x.astype(self.A_low.dtype),
+                    preferred_element_type=acc)
+        return y.astype(x.dtype)
 
     def matvec_exact(self, x):
         return jnp.dot(self.A, x, preferred_element_type=x.dtype,

@@ -74,7 +74,7 @@ class TimedRun:
 
 def timed_run(fn, *args, reps=3, implied_bytes=None,
               peak_bytes_per_s=PEAK_HBM_BYTES_PER_S, margin=2.0,
-              make_args=None, warmup=True):
+              make_args=None, warmup=True, check=None):
     """Roofline-guarded wall-clock measurement of ``fn(*args)``.
 
     Centralizes the two timing-integrity rules every benchmark in this repo
@@ -92,8 +92,12 @@ def timed_run(fn, *args, reps=3, implied_bytes=None,
        raises rather than report a physically impossible number.
 
     ``make_args(rep) -> tuple`` replaces ``args`` per rep (fresh perturbed
-    inputs); the returned arrays are materialized before the clock starts.
+    inputs); the returned arrays are fenced before the clock starts.
     ``warmup`` runs one untimed call first (compile + tunnel grant).
+    ``check(result)`` runs on EVERY rep's output, outside the timed region —
+    use it to assert convergence of each timed rep, not just the warm-up
+    (a perturbed batch with unconverged lanes must not be reported as a
+    full-batch throughput; advisor round 3).
 
     Returns a ``TimedRun``; ``wall_s`` is the min accepted wall (device
     execution is deterministic — min is the least-noise estimate ONCE each
@@ -120,7 +124,10 @@ def timed_run(fn, *args, reps=3, implied_bytes=None,
         t0 = time.perf_counter()
         out = fn(*a)
         materialize(out)
-        return time.perf_counter() - t0, out
+        wall = time.perf_counter() - t0
+        if check is not None:
+            check(out)
+        return wall, out
 
     for rep in range(reps):
         wall, result = one_rep(rep)

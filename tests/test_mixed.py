@@ -351,3 +351,42 @@ def test_pcg_rr_budget_exhaustion_honest():
     cfg = PCGConfig(tol=1e-14, max_matvecs=20, refresh_every=8)
     r = SOLVERS["pcg"][0](op, b, proj=proj, config=cfg)
     assert not bool(r.converged)
+
+
+def test_f64_exact_rung_raw_wishart():
+    """The f64-exact rung of the mixed ladder (MixedPrecDense with A f64 /
+    A_low f32 + rr-PCG): on the reference's raw-Wishart family (cond up to
+    ~1e7 — f32-infeasible, the iterate floors at Eq.25 ~2e-5) the f32-sweep
+    refinement must reach tol 1e-5 with TRUE residuals certified by an
+    independent f64 recompute.  This is the configuration of
+    benchmarks/benchmark_f64_wishart1k.py."""
+    import jax
+    import numpy as np
+
+    import ccqppy_tpu as cq
+    from ccqppy_tpu.models import PCGConfig
+    from ccqppy_tpu.models.base import pg_residual
+    from ccqppy_tpu.models.pcg import solve as pcg_solve
+    from ccqppy_tpu.ops.linop import DenseOperator, MixedPrecDense
+    from ccqppy_tpu.utils.random_qp import random_qp_batch
+
+    B, N, tol = 8, 160, 1e-5
+    As, bs, _ = random_qp_batch(jax.random.PRNGKey(0), B, N, jnp.float64,
+                                diag_boost=0.0)
+    As32 = As.astype(jnp.float32)
+    proj = cq.box(-jnp.ones(N, jnp.float64), jnp.ones(N, jnp.float64),
+                  jnp.float64)
+    cfg = PCGConfig(tol=tol, max_matvecs=20000, refresh_every=128,
+                    segment_drop=0.25)
+    diag = jnp.diagonal(As, axis1=-2, axis2=-1)
+    x0 = jnp.clip(-bs / diag, -1.0, 1.0)
+    r = jax.vmap(lambda a64, a32, b, x0_: pcg_solve(
+        MixedPrecDense(a64, a32), b, x0=x0_, proj=proj, config=cfg))(
+        As, As32, bs, x0)
+    tres = np.asarray(jax.vmap(
+        lambda A, b, x: pg_residual(proj, x, DenseOperator(A).matvec(x) + b,
+                                    1e-6, DenseOperator(A)))(As, bs, r.x))
+    assert bool(np.all(np.asarray(r.converged)))
+    assert tres.max() <= tol * 1.02, f"true residual {tres.max():.3e}"
+    # beyond the f32 iterate floor: at least one lane certified below 1e-5
+    assert tres.min() < 1e-5

