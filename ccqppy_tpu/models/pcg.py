@@ -23,10 +23,15 @@ Algorithm (per iteration, state ``x`` feasible, ``g = A x + b`` exact):
 5. ``r = -m * g``; restart CG (``beta = 0``) whenever the active set changed
    or the step hit a bound, else standard Fletcher-Reeves update.
 
-Because the gradient carry is exact, the Eq. 25 convergence check is honest
-at every iteration; there is no silent mask-staleness failure mode (a frozen
-active set would falsely report convergence on ~9%% of Wishart box lanes —
-measured).  Restricted to sets with a meaningful per-coordinate binding mask
+The gradient carry is exact in exact arithmetic — but over 100+ f32
+iterations its accumulated rounding drifts from the truth (measured:
+cond~200 families reported converged at carried-res < tol with TRUE
+residuals 3x above), so the plain path VERIFIES every convergence claim
+against a freshly recomputed gradient and resumes until the true Eq. 25
+residual passes (see the nested-loop structure in ``_solve``); the
+reported residual and flag always come from a fresh gradient.  There is
+likewise no silent mask-staleness failure mode (a frozen active set would
+falsely report convergence on ~9%% of Wishart box lanes — measured).  Restricted to sets with a meaningful per-coordinate binding mask
 (identity / bounds / box and blockwise/product compositions); on curved sets
 (ball, cone) the conservative default mask freezes boundary lanes, which then
 exit at the matvec budget and should be finished by a fallback solver — the

@@ -74,7 +74,7 @@ class TimedRun:
 
 def timed_run(fn, *args, reps=3, implied_bytes=None,
               peak_bytes_per_s=PEAK_HBM_BYTES_PER_S, margin=2.0,
-              make_args=None, warmup=True, check=None):
+              make_args=None, warmup=True, check=None, fence=None):
     """Roofline-guarded wall-clock measurement of ``fn(*args)``.
 
     Centralizes the two timing-integrity rules every benchmark in this repo
@@ -98,6 +98,15 @@ def timed_run(fn, *args, reps=3, implied_bytes=None,
     use it to assert convergence of each timed rep, not just the warm-up
     (a perturbed batch with unconverged lanes must not be reported as a
     full-batch throughput; advisor round 3).
+    ``fence(result) -> small pytree``: optional replacement for the
+    full-output fence INSIDE the clock.  Use when the outputs are large
+    (pulling an 8 MB solution array through this container's tunnel bills
+    ~0.27 s of pure I/O as compute) — the callable must return values a
+    DEPENDENT device program computed FROM the outputs (e.g. a jitted
+    ``sum(|x|)``), which is an equally complete computation fence: it
+    cannot exist before the outputs do.  The full outputs are then
+    materialized OUTSIDE the clock (so ``check`` still sees real data and
+    the returned ``result`` is host-verified either way).
 
     Returns a ``TimedRun``; ``wall_s`` is the min accepted wall (device
     execution is deterministic — min is the least-noise estimate ONCE each
@@ -123,8 +132,13 @@ def timed_run(fn, *args, reps=3, implied_bytes=None,
                 leaf.block_until_ready()
         t0 = time.perf_counter()
         out = fn(*a)
-        materialize(out)
+        if fence is None:
+            materialize(out)
+        else:
+            materialize(fence(out))
         wall = time.perf_counter() - t0
+        if fence is not None:
+            materialize(out)        # host-verify outside the clock
         if check is not None:
             check(out)
         return wall, out

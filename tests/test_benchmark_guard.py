@@ -59,3 +59,16 @@ def test_make_args_threads_fresh_inputs():
     out = timed_run(lambda v: v + 1, reps=2, make_args=make)
     assert seen == [-1, 0, 1]                   # warmup + 2 reps
     np.testing.assert_allclose(np.asarray(out.result), 2.0)
+
+
+def test_fence_callable_defers_full_materialization():
+    calls = {"fence": 0}
+
+    def fence(out):
+        calls["fence"] += 1
+        return jnp.sum(out)
+
+    res = timed_run(lambda v: v * 3.0, jnp.arange(8.0), reps=2, fence=fence)
+    assert calls["fence"] == 2              # per timed rep (warmup is full)
+    # the returned result is still the real full output, host-verified
+    np.testing.assert_allclose(np.asarray(res.result), np.arange(8.0) * 3)
