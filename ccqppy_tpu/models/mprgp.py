@@ -225,7 +225,6 @@ class _FusedState(NamedTuple):
     x: jax.Array
     g: jax.Array        # exact gradient at x — except pending: gradient at xh
     p: jax.Array
-    dx_pend: jax.Array  # expansion second-leg displacement owed its matvec
     x_prev: jax.Array   # expansion start point (full-step BB pair at finish)
     g_prev: jax.Array
     alpha_bb: jax.Array
@@ -243,13 +242,17 @@ def _solve_fused(A, b, x0, proj, config, bb_variant: bool):
 
     The iteration owns ONE matvec slot; its operand is
 
-      * ``dx_pend``  when a previous expansion's gradient refresh is owed
-        (the lane spent last iteration's slot on ``A p``);
+      * ``x``        when a previous expansion's gradient refresh is owed
+        (the lane spent last iteration's slot on ``A p``) — the refresh is
+        a FRESH ``g = A x + b``, matching the unfused body's
+        ``op.matvec(x1) + b`` (a ``g + A dx`` recurrence would accumulate
+        rounding the unfused body does not);
       * ``p``        for the CG/expansion family (needs ``A p`` up front for
         ``alpha_cg`` and the feasible-step comparison);
-      * ``proj(x - alpha_bb g) - x``  for proportioning — the projected
-        point needs no matvec to construct, and ``A dx`` both refreshes the
-        gradient exactly (``g1 = g + A dx``) and completes the BB pair.
+      * ``proj(x - alpha_bb g)``  for proportioning — the projected point
+        needs no matvec to construct, ``g1 = A x1 + b`` is fresh, and the
+        BB pair completes from ``dg = g1 - g0`` (equal to ``A dx`` in
+        exact arithmetic).
 
     All remaining work is O(n) elementwise/dots — noise next to the O(n^2)
     sweep.  Trajectories match the unfused body (same iterates, same matvec
@@ -278,7 +281,7 @@ def _solve_fused(A, b, x0, proj, config, bb_variant: bool):
         op.dot(g_init, op.matvec(g_init)) + tiny)
     psi0, _ = proj.free_chopped(x_init, g_init)
     zeros = jnp.zeros_like(b)
-    s0 = _FusedState(x=x_init, g=g_init, p=psi0, dx_pend=zeros,
+    s0 = _FusedState(x=x_init, g=g_init, p=psi0,
                      x_prev=x_init, g_prev=g_init, alpha_bb=alpha_bb0,
                      pending=jnp.asarray(False), res=res0, mv=jnp.int32(2),
                      it=jnp.int32(0),
@@ -298,19 +301,19 @@ def _solve_fused(A, b, x0, proj, config, bb_variant: bool):
         dx_prop = x_prop - s.x
         br_fin = s.pending
         br_cg_ex = ~s.pending & proportional
-        v = jnp.where(br_fin, s.dx_pend,
-                      jnp.where(br_cg_ex, s.p, dx_prop))
+        v = jnp.where(br_fin, s.x,
+                      jnp.where(br_cg_ex, s.p, x_prop))
         Av = op.matvec(v)                         # the one sweep
         mv = s.mv + 1
 
-        # ---- expansion finish: gradient becomes exact at s.x -------------
-        g_fin = s.g + Av
+        # ---- expansion finish: FRESH gradient at s.x (Av == A x) ---------
+        g_fin = Av + b
         dxf = s.x - s.x_prev
         a_fin = op.dot(dxf, dxf) / (op.dot(dxf, g_fin - s.g_prev) + tiny)
 
-        # ---- proportioning (Av == A dx_prop) -----------------------------
-        g_pp = s.g + Av
-        a_pp = op.dot(dx_prop, dx_prop) / (op.dot(dx_prop, Av) + tiny)
+        # ---- proportioning: FRESH gradient at x_prop (Av == A x_prop) ----
+        g_pp = Av + b
+        a_pp = op.dot(dx_prop, dx_prop) / (op.dot(dx_prop, g_pp - s.g) + tiny)
 
         # ---- CG / expansion (Av == A p) ----------------------------------
         pAp = op.dot(s.p, Av) + tiny
@@ -327,7 +330,6 @@ def _solve_fused(A, b, x0, proj, config, bb_variant: bool):
             x_ex = proj.project(xh - alpha_bar * psih)
         else:
             x_ex = proj.project(xh - a_cgbb * gh)
-        dx_ex = x_ex - xh
 
         # ---- merge -------------------------------------------------------
         br_cg = br_cg_ex & take_cg
@@ -340,7 +342,6 @@ def _solve_fused(A, b, x0, proj, config, bb_variant: bool):
         x1 = sel(s.x, x_cg, x_ex, x_prop)
         g1 = sel(g_fin, g_cg, gh, g_pp)
         a1 = sel(a_fin, a_cgbb, s.alpha_bb, a_pp)
-        dx_pend1 = jnp.where(br_ex, dx_ex, zeros)
         x_prev1 = jnp.where(br_ex, s.x, s.x_prev)
         g_prev1 = jnp.where(br_ex, s.g, s.g_prev)
 
@@ -354,7 +355,7 @@ def _solve_fused(A, b, x0, proj, config, bb_variant: bool):
         # honest residual; the finish iteration reports the refreshed one.
         res = jnp.where(br_ex, s.res, res1)
         done = ((res < config.tol) & ~br_ex) | (mv >= config.max_matvecs)
-        return _FusedState(x1, g1, p1, dx_pend1, x_prev1, g_prev1, a1,
+        return _FusedState(x1, g1, p1, x_prev1, g_prev1, a1,
                            br_ex, res, mv, s.it + 1, done,
                            record_trace(s.trace, s.it, res))
 

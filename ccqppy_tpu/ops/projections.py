@@ -167,7 +167,9 @@ class Projection:
     #: implementation's exact max_feasible_step/binding_mask (identity,
     #: bounds, box, and compositions thereof).  The ``pcg`` face solver
     #: requires it: on polyhedral sets a feasible step never needs re-
-    #: projection, so its gradient carry stays exact (models/pcg.py).
+    #: projection, so its gradient recurrence holds exactly in exact
+    #: arithmetic (fp drift over deep sweeps is handled by pcg's verified
+    #: convergence claims — models/pcg.py).
     polyhedral = False
 
     def pg_residual_vec(self, x, g, gd):

@@ -269,14 +269,17 @@ class BenchmarkRandomCCQP:
                     cfg = cfg_cls(tol=self.tol, max_matvecs=self.max_matvecs)
                     keys = (jax.random.split(jax.random.PRNGKey(self.seed + 1), T)
                             if sname == "spg" else None)
-                    # warm-up to exclude compile time, then timed run
+                    # warm-up to exclude compile time, then timed run.
+                    # Fence = full-output materialization (block_until_ready
+                    # can return early on the remote backend — the round-3
+                    # lesson the timed_run harness encodes).
                     r = solve_batched(fn, As, bs, proj=proj, config=cfg,
                                       keys=keys)
-                    r.x.block_until_ready()
+                    materialize(r)
                     t0 = time.perf_counter()
                     r = solve_batched(fn, As, bs, proj=proj, config=cfg,
                                       keys=keys)
-                    r.x.block_until_ready()
+                    materialize(r)
                     elapsed = time.perf_counter() - t0
                     residual[i, j, k] = np.asarray(r.residual)
                     converged[i, j, k] = np.asarray(r.converged)

