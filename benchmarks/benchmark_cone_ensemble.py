@@ -143,6 +143,14 @@ def main():
         floor = implied / (2 * 819e9)
         assert wall > floor, f"pipelined wall {wall} under roofline floor"
         walls.append(wall)
+        # Audit EVERY batch of EVERY trial outside the clock (advisor r4:
+        # auditing only the final trial left the reported trial's batches
+        # unverified): full convergence + true-residual check per batch.
+        for r_, b_ in zip(outs, bs_l):
+            materialize(r_)
+            assert float(np.mean(np.asarray(r_.converged))) == 1.0
+            assert float(np.asarray(res_audit(As, b_, r_.x)).max()) \
+                <= TOL * 1.05
         last, b_pipe_last = outs[-1], bs_l[-1]
     headline = audit_row("mprgp_bb pipelined (headline)", min(walls), last,
                          b_pipe_last, {"pipeline_depth": PIPELINE})

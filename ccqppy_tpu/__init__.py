@@ -29,7 +29,7 @@ from ccqppy_tpu.models import (SOLVERS, SolveResult, apgd, bbpgd, mprgp, pgd,
                                spg)  # noqa: F401
 from ccqppy_tpu.ops import projections  # noqa: F401
 from ccqppy_tpu.ops.linop import (BlockSparseOperator, CastDense,
-                                  DenseOperator, MixedPrecDense,
+                                  DenseOperator, FastDense, MixedPrecDense,
                                   ShardedDenseOperator, SymmetricPackedDense,
                                   as_operator)  # noqa: F401
 from ccqppy_tpu.ops.projections import (BallProj, BlockwiseProj, BoxProj,

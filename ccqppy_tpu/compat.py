@@ -36,11 +36,16 @@ from ccqppy_tpu.models import (APGDConfig, BBPGDConfig, BBPGDfConfig,
                                SPGConfig, apgd, bbpgd, mprgp, pgd, spg)
 from ccqppy_tpu.ops import projections as P
 
-_DEFAULT_DTYPE = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+def _default_dtype():
+    """Resolved at CALL time, not import time: a user who enables x64 after
+    importing this module (the reference's tests run f64 at tol 1e-8,
+    ``/root/reference/tests/test_module.py:18-73``) must get f64 solves
+    through the drop-in API — a frozen module constant silently gave f32."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
 def _asarray(x):
-    return jnp.asarray(x, _DEFAULT_DTYPE)
+    return jnp.asarray(x, _default_dtype())
 
 
 # --------------------------------------------------------------------------
@@ -91,23 +96,23 @@ class IdentityProjOp(_ProjOpWrapper):
 
 class LowerBoundProjOp(_ProjOpWrapper):
     def __init__(self, embedded_dimension, lower_bound=None):
-        lb = (-jnp.ones(embedded_dimension, _DEFAULT_DTYPE)
+        lb = (-jnp.ones(embedded_dimension, _default_dtype())
               if lower_bound is None else _asarray(lower_bound))
         super().__init__(P.LowerBoundProj(lb), embedded_dimension, "Lower Bound")
 
 
 class UpperBoundProjOp(_ProjOpWrapper):
     def __init__(self, embedded_dimension, upper_bound=None):
-        ub = (jnp.ones(embedded_dimension, _DEFAULT_DTYPE)
+        ub = (jnp.ones(embedded_dimension, _default_dtype())
               if upper_bound is None else _asarray(upper_bound))
         super().__init__(P.UpperBoundProj(ub), embedded_dimension, "Upper Bound")
 
 
 class BoxProjOp(_ProjOpWrapper):
     def __init__(self, embedded_dimension, lower_bound=None, upper_bound=None):
-        lb = (-jnp.ones(embedded_dimension, _DEFAULT_DTYPE)
+        lb = (-jnp.ones(embedded_dimension, _default_dtype())
               if lower_bound is None else _asarray(lower_bound))
-        ub = (jnp.ones(embedded_dimension, _DEFAULT_DTYPE)
+        ub = (jnp.ones(embedded_dimension, _default_dtype())
               if upper_bound is None else _asarray(upper_bound))
         super().__init__(P.BoxProj(lb, ub), embedded_dimension, "Box")
 
@@ -115,14 +120,14 @@ class BoxProjOp(_ProjOpWrapper):
 class SphereProjOp(_ProjOpWrapper):
     def __init__(self, embedded_dimension, radius=None):
         r = 1.0 if radius is None else radius
-        super().__init__(P.ball(r, dtype=_DEFAULT_DTYPE), embedded_dimension,
+        super().__init__(P.ball(r, dtype=_default_dtype()), embedded_dimension,
                          "Sphere")
 
 
 class ConeProjOp(_ProjOpWrapper):
     def __init__(self, embedded_dimension, aspect_ratio=None):
         mu = 1.0 if aspect_ratio is None else aspect_ratio
-        super().__init__(P.lorentz_cone(mu, dtype=_DEFAULT_DTYPE),
+        super().__init__(P.lorentz_cone(mu, dtype=_default_dtype()),
                          embedded_dimension, "Cone")
 
 

@@ -4,10 +4,12 @@ Each solver module exposes ``solve(A, b, x0=None, proj=None, config=...)``
 returning a ``SolveResult`` pytree.  ``SOLVERS`` maps short names to
 (solve_fn, config_cls) for benchmark harnesses and the compat layer.
 """
-from ccqppy_tpu.models import apgd, bbpgd, mprgp, pcg, pgd, spg
+from ccqppy_tpu.models import apgd, bbpgd, direct, mprgp, pcg, pgd, spg
 from ccqppy_tpu.models.apgd import APGDConfig
 from ccqppy_tpu.models.base import SolveResult, SolverConfig, pg_residual
 from ccqppy_tpu.models.bbpgd import BBPGDConfig, BBPGDfConfig
+from ccqppy_tpu.models.direct import (direct_x0, solve_direct_batched,
+                                      spd_inverse_batch)
 from ccqppy_tpu.models.mprgp import MPRGPBBConfig, MPRGPConfig
 from ccqppy_tpu.models.pcg import PCGConfig
 from ccqppy_tpu.models.pgd import PGDConfig

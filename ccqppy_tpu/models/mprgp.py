@@ -70,7 +70,15 @@ class MPRGPConfig(SolverConfig):
     ``pending`` flag), visiting the same iterates with the same matvec
     count.  False selects the reference-shaped ``lax.cond`` body (useful as
     a differential-testing oracle; also marginally leaner for SINGLE
-    un-vmapped solves where lax.cond executes only the taken branch)."""
+    un-vmapped solves where lax.cond executes only the taken branch).
+
+    Both forms VERIFY convergence claims made from the CG branch's carried
+    gradient recurrence against a fresh ``g = A x + b`` before reporting
+    converged (round 5, advisor r4 — the drift failure pcg.py closed in
+    round 4 applies equally here).  Cost: +1 matvec on CG-claim exits
+    (fused) or per claim cycle (unfused); exits from the fresh-gradient
+    branches (proportioning, expansion finish) pay nothing extra in the
+    fused form."""
 
     gamma: float = 1.0
     fused: bool = True
@@ -213,12 +221,45 @@ def _solve(A, b, x0, proj, config, bb_variant: bool):
         x1, g1, p1, a_bb, mv = lax.cond(proportional, cg_or_expand,
                                         proportioning, s)
         res = pg_residual(proj, x1, g1, config.gd, op)
-        done = (res < config.tol) | (mv >= config.max_matvecs)
+        # ``mv + 1``: one matvec of budget is reserved for the outer
+        # verification refresh (below), so totals never exceed the budget.
+        done = (res < config.tol) | (mv + 1 >= config.max_matvecs)
         return _State(x1, g1, p1, a_bb, s.x, s.g, res, mv, s.it + 1, done,
                       record_trace(s.trace, s.it, res))
 
-    s = lax.while_loop(cond, body, s0)
-    return make_result(s.x, s.res, s.mv, s.it, config.max_matvecs, s.trace)
+    # VERIFIED CONVERGENCE (round 5, advisor r4 medium): the CG branch
+    # carries its gradient by recurrence (g1 = g - alpha_cg Ap) — exact in
+    # exact arithmetic, but over 100+ f32 iterations the accumulated
+    # rounding drifts it from the truth, the same failure mode pcg.py
+    # closed in round 4.  On mostly-interior problems the proportioning /
+    # expansion branches (which DO refresh g) may never fire, so a res<tol
+    # claim can rest entirely on the drifted carry.  The loop is therefore
+    # nested exactly like pcg.py: each inner segment runs until it CLAIMS
+    # res < tol (or exhausts the reserved budget), then one fresh
+    # ``g = A x + b`` re-evaluates the true Eq.25 residual and the loop
+    # resumes from the exact gradient until the claim verifies.  Cost: one
+    # extra matvec per solve in the no-drift case; the repo-wide bar
+    # (models/pcg.py) — no solver default may report converged with a true
+    # residual above tol — now holds for every MPRGP exit path.
+    def outer_body(o):
+        s = lax.while_loop(cond, body, o)
+        g_t = op.matvec(s.x) + b           # verification refresh
+        mv = s.mv + 1
+        res_t = pg_residual(proj, s.x, g_t, config.gd, op)
+        psi_t, _ = proj.free_chopped(s.x, g_t)
+        done = (res_t < config.tol) | (mv >= config.max_matvecs)
+        return _State(s.x, g_t, psi_t, s.alpha_bb, s.x_prev, s.g_prev,
+                      res_t, mv, s.it, done, s.trace)
+
+    o0 = s0._replace(done=(s0.res < config.tol)
+                     | (s0.mv >= config.max_matvecs))
+    o = lax.while_loop(lambda o: ~o.done, outer_body, o0)
+    result = make_result(o.x, o.res, o.mv, o.it, config.max_matvecs, o.trace)
+    # o.res is a fresh-gradient residual on every exit path; report the
+    # honest criterion so a budget exit whose drifted carry happened to dip
+    # below tol is not mislabeled converged (cf. pcg.py).
+    return dataclasses.replace(
+        result, converged=result.converged & (o.res < config.tol))
 
 
 class _FusedState(NamedTuple):
@@ -229,6 +270,7 @@ class _FusedState(NamedTuple):
     g_prev: jax.Array
     alpha_bb: jax.Array
     pending: jax.Array  # bool: an expansion's gradient refresh is owed
+    verifying: jax.Array  # bool: a CG convergence claim awaits a fresh-g check
     res: jax.Array
     mv: jax.Array
     it: jax.Array
@@ -281,10 +323,11 @@ def _solve_fused(A, b, x0, proj, config, bb_variant: bool):
         op.dot(g_init, op.matvec(g_init)) + tiny)
     psi0, _ = proj.free_chopped(x_init, g_init)
     zeros = jnp.zeros_like(b)
+    false = jnp.asarray(False)
     s0 = _FusedState(x=x_init, g=g_init, p=psi0,
                      x_prev=x_init, g_prev=g_init, alpha_bb=alpha_bb0,
-                     pending=jnp.asarray(False), res=res0, mv=jnp.int32(2),
-                     it=jnp.int32(0),
+                     pending=false, verifying=false, res=res0,
+                     mv=jnp.int32(2), it=jnp.int32(0),
                      done=(res0 < config.tol) | (2 >= config.max_matvecs),
                      trace=init_trace(config, dtype))
 
@@ -295,18 +338,26 @@ def _solve_fused(A, b, x0, proj, config, bb_variant: bool):
         # ---- operand selection (all O(n)) --------------------------------
         # For a pending lane (x, g) is the inconsistent (x1, gh) pair; psi/
         # beta/x_prop computed from it are dead values the selects drop.
+        # A verifying lane (round 5, advisor r4 medium) also takes the
+        # refresh path: its last CG step CLAIMED res < tol from the carried
+        # gradient recurrence, and the claim must be re-checked against a
+        # fresh ``g = A x + b`` before the solver may report converged —
+        # the same drift failure pcg.py closed in round 4.  Fresh-gradient
+        # branches (proportioning, expansion finish) exit directly: their
+        # residual already comes from an exact gradient, so verification
+        # costs an extra sweep ONLY on CG-claim exits.
         psi, beta_ch = proj.free_chopped(s.x, s.g)
         proportional = op.dot(beta_ch, beta_ch) < gamma2 * op.dot(psi, psi)
         x_prop = proj.project(s.x - s.alpha_bb * s.g)
         dx_prop = x_prop - s.x
-        br_fin = s.pending
-        br_cg_ex = ~s.pending & proportional
+        br_fin = s.pending | s.verifying
+        br_cg_ex = ~br_fin & proportional
         v = jnp.where(br_fin, s.x,
                       jnp.where(br_cg_ex, s.p, x_prop))
         Av = op.matvec(v)                         # the one sweep
         mv = s.mv + 1
 
-        # ---- expansion finish: FRESH gradient at s.x (Av == A x) ---------
+        # ---- expansion finish / claim verify: FRESH g at s.x (Av == A x) -
         g_fin = Av + b
         dxf = s.x - s.x_prev
         a_fin = op.dot(dxf, dxf) / (op.dot(dxf, g_fin - s.g_prev) + tiny)
@@ -342,6 +393,9 @@ def _solve_fused(A, b, x0, proj, config, bb_variant: bool):
         x1 = sel(s.x, x_cg, x_ex, x_prop)
         g1 = sel(g_fin, g_cg, gh, g_pp)
         a1 = sel(a_fin, a_cgbb, s.alpha_bb, a_pp)
+        # A verification refresh moves nothing (x1 == s.x), so its a_fin
+        # secant pair is stale history — keep the carried BB step instead.
+        a1 = jnp.where(s.verifying, s.alpha_bb, a1)
         x_prev1 = jnp.where(br_ex, s.x, s.x_prev)
         g_prev1 = jnp.where(br_ex, s.g, s.g_prev)
 
@@ -354,13 +408,32 @@ def _solve_fused(A, b, x0, proj, config, bb_variant: bool):
         # An expansion iteration's gradient is not yet exact — keep the last
         # honest residual; the finish iteration reports the refreshed one.
         res = jnp.where(br_ex, s.res, res1)
-        done = ((res < config.tol) & ~br_ex) | (mv >= config.max_matvecs)
+        # Residual freshness: br_fin (A x refresh) and proportioning compute
+        # g1 from the sweep; CG's res1 is recurrence-carried and may only
+        # CLAIM — the claim defers exit to a verifying refresh next
+        # iteration.  Budget exhaustion exits regardless; make_result's
+        # ``converged := mv < max`` then reports such lanes unconverged, so
+        # an unverified claim is never labeled converged.
+        fresh_now = br_fin | (~br_fin & ~proportional)
+        done = ((res < config.tol) & fresh_now & ~br_ex) \
+            | (mv >= config.max_matvecs)
+        verifying1 = br_cg & (res1 < config.tol) & ~done
+        pending1 = br_ex & ~done
+        # Budget exit on an expansion iteration: the post-expansion x1 has
+        # no matching residual (res is the stale pre-expansion value) —
+        # return the pre-expansion iterate so the reported (x, residual)
+        # pair is consistent (advisor r4).
+        x1 = jnp.where(br_ex & done, s.x, x1)
         return _FusedState(x1, g1, p1, x_prev1, g_prev1, a1,
-                           br_ex, res, mv, s.it + 1, done,
+                           pending1, verifying1, res, mv, s.it + 1, done,
                            record_trace(s.trace, s.it, res))
 
     s = lax.while_loop(cond, body, s0)
-    return make_result(s.x, s.res, s.mv, s.it, config.max_matvecs, s.trace)
+    result = make_result(s.x, s.res, s.mv, s.it, config.max_matvecs, s.trace)
+    # Every converged=True exit carries a fresh-gradient residual: claims
+    # from the CG carry are re-checked by a verifying refresh before done
+    # can set, and budget exits are unconverged by the mv < max semantics.
+    return result
 
 
 @partial(jax.jit, static_argnames=("config",))

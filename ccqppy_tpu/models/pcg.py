@@ -237,7 +237,10 @@ def _solve(A, b, x0, proj, config):
     def outer_body(o):
         s = lax.while_loop(lambda s: ~s.done, body,
                            inner_init(o.x, o.g, o.res, o.mv, o.it, o.trace))
-        g_t = op.matvec(s.x) + b           # verification refresh
+        # Verification refresh at the operator's EXACT precision (identical
+        # to matvec for plain operators; load-bearing for FastDense, whose
+        # cheap sweep carries bf16-grade product rounding).
+        g_t = op.matvec_exact(s.x) + b
         mv = s.mv + 1
         res_t = pg_residual(proj, s.x, g_t, config.gd, op)
         # it == o.it: the segment had no room to move (frozen mask or

@@ -22,15 +22,38 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-# All matvecs request HIGHEST precision: on TPU the default matmul precision
-# multiplies f32 operands in bf16 (measured ~1% elementwise error at n=1024),
-# which would poison gradients near convergence.  HIGHEST selects the
-# f32-accurate multi-pass MXU path; it is memory-bandwidth-neutral (the
-# matvec is HBM-bound) and still hit 742 GB/s (~91% of v5e peak) measured.
+# Exact matvecs request HIGHEST precision: on TPU the default matmul
+# precision multiplies f32 operands in bf16 (measured 2.95e-3 relative error
+# on the batched lowering), which would poison gradients near convergence.
+# HIGHEST selects the f32-accurate multi-pass MXU path.  Round-5 CORRECTION
+# to the earlier "bandwidth-neutral" claim: the multi-pass emulation is NOT
+# free — the batched GEMV measures 13.2 ms/sweep at HIGHEST vs 8.9 at
+# DEFAULT (B=2048, n=1000, v5 lite) because the MXU passes, not HBM, bound
+# the HIGHEST path at this scale.  ``FastDense`` exposes the fast DEFAULT
+# sweep for the residual-replacement ladder; operators whose results feed
+# convergence decisions keep HIGHEST.
 _PRECISION = lax.Precision.HIGHEST
 
 from ccqppy_tpu.utils.pytree import register_pytree_dataclass
 
+
+
+def _gemv_fence(y):
+    """Post-GEMV optimization barrier — load-bearing for TPU throughput.
+
+    Round-5 measurement (v5 lite, B=2048, n=1000, pinned layout, 17-sweep
+    in-jit chain, host-materialization fence): a batched dense GEMV whose
+    output feeds a reduction (the solver dots p.Ap / r.r, computed right
+    after every sweep) runs at 12.8 ms/sweep because XLA fuses the
+    reduction into the GEMV and deoptimizes its streaming emitter; with an
+    ``optimization_barrier`` between the GEMV and its consumers the same
+    loop runs at 8.85 ms/sweep (DEFAULT precision) — a 1.45x wall win.
+    The barrier is semantically the identity; the only fusion it forfeits
+    is the GEMV epilogue of a ~8 MB elementwise consumer, noise next to
+    the 8 GB operand stream.  Applied by every dense-family operator so
+    all solvers inherit the fix.
+    """
+    return lax.optimization_barrier(y)
 
 class LinearOperator:
     """Protocol: symmetric positive (semi)definite linear operator."""
@@ -81,8 +104,49 @@ class DenseOperator(LinearOperator):
     A: jax.Array
 
     def matvec(self, x):
-        return jnp.dot(self.A, x, preferred_element_type=x.dtype,
-                       precision=_PRECISION)
+        return _gemv_fence(jnp.dot(self.A, x, preferred_element_type=x.dtype,
+                                   precision=_PRECISION))
+
+    def inf_norm(self):
+        return jnp.max(jnp.sum(jnp.abs(self.A), axis=-1))
+
+    def diagonal(self):
+        return jnp.diagonal(self.A)
+
+
+@register_pytree_dataclass
+class FastDense(LinearOperator):
+    """Dense operator with a DEFAULT-precision cheap sweep and a HIGHEST
+    exact sweep over the SAME f32 buffer — zero extra memory.
+
+    Round-5 measurement (v5 lite, B=2048, n=1000, pinned layout, dependent-
+    checksum fence): the batched f32 GEMV at ``lax.Precision.HIGHEST`` runs
+    at 13.2 ms/sweep while ``DEFAULT`` runs at 8.9 ms — a 1.49x wall win at
+    identical HBM bytes, because HIGHEST pays the multi-pass bf16 emulation
+    of f32 multiplies on the MXU.  ``DEFAULT``'s products carry bf16
+    operand rounding (measured 2.95e-3 relative on the batched lowering;
+    ``HIGH`` measures identical wall AND error to HIGHEST on this chip, so
+    there is no useful middle tier) — the same error model as a
+    bfloat16-RESIDENT ``A`` (CastDense), but at full f32 bytes and, unlike
+    the bf16 copy, with no extra HBM capacity and a FASTER absolute sweep
+    (the bf16 batched GEMV lowers at only ~580 GB/s effective, 9.4
+    ms-equivalent at this scale).
+
+    Use exactly like ``MixedPrecDense``: the residual-replacement PCG
+    (``models.pcg`` with ``refresh_every > 0``) rides ``matvec`` in cheap
+    segments and anchors truth at ``matvec_exact`` refreshes; every
+    reported residual comes from the exact sweep.  Do NOT use with plain
+    (non-rr) solvers whose in-loop gradients assume a trustworthy operator.
+    """
+
+    A: jax.Array
+
+    def matvec(self, x):
+        return _gemv_fence(jnp.dot(self.A, x, preferred_element_type=x.dtype))
+
+    def matvec_exact(self, x):
+        return _gemv_fence(jnp.dot(self.A, x, preferred_element_type=x.dtype,
+                                   precision=_PRECISION))
 
     def inf_norm(self):
         return jnp.max(jnp.sum(jnp.abs(self.A), axis=-1))
@@ -190,8 +254,8 @@ class CastDense(LinearOperator):
         return CastDense(jnp.asarray(A).astype(dtype))
 
     def matvec(self, x):
-        return jnp.dot(self.A, x.astype(self.A.dtype),
-                       preferred_element_type=x.dtype)
+        return _gemv_fence(jnp.dot(self.A, x.astype(self.A.dtype),
+                                   preferred_element_type=x.dtype))
 
     def inf_norm(self):
         return jnp.max(jnp.sum(jnp.abs(self.A.astype(jnp.float32)), axis=-1))
@@ -223,22 +287,33 @@ class MixedPrecDense(LinearOperator):
         return MixedPrecDense(A, A.astype(dtype))
 
     def matvec(self, x):
-        # Accumulate at max(low dtype, f32), then cast to the carry dtype.
-        # For the bf16 rung this is the native bf16 x bf16 -> f32 MXU op;
-        # for the f64-exact ladder (A f64, A_low f32 — the raw-Wishart
-        # configuration, benchmark_f64_wishart1k.py) it keeps the CHEAP
-        # sweep a fast native-f32 GEMV: requesting f64 accumulation of an
-        # f32 matmul would drop it into the ~30 GB/s emulated-f64 path,
-        # defeating the rung's purpose.
-        acc = x.dtype if self.A_low.dtype == jnp.float64 else (
-            jnp.promote_types(self.A_low.dtype, jnp.float32))
+        # ACCURACY CONTRACT: ``matvec`` is the deliberately-cheap sweep of
+        # the residual-replacement ladder — its accuracy is that of the
+        # low-precision copy, NOT the carry dtype.  Accuracy-sensitive
+        # callers (anything outside the rr-PCG refresh loop that needs the
+        # true operator) must use ``matvec_exact``.
+        #
+        # Accumulation dtype: normally promote(carry, f32) — an f64 carry
+        # keeps f64 accumulation even over a bf16/f32 low copy (advisor
+        # r4: the fast path must be opted into, not inherited by every
+        # direct caller).  The ONE exception is keyed on the HIGH copy
+        # being f64 — the f64-exact ladder configuration (A f64, A_low
+        # f32; benchmark_f64_wishart1k.py), whose whole point is that the
+        # cheap sweep stays a fast native-f32 GEMV: requesting f64
+        # accumulation of an f32 matmul would drop it into the ~30 GB/s
+        # emulated-f64 path.  In that configuration the refresh loop
+        # corrects the accumulation error like any other operator error.
+        if self.A.dtype == jnp.float64:
+            acc = jnp.promote_types(self.A_low.dtype, jnp.float32)
+        else:
+            acc = jnp.promote_types(x.dtype, jnp.float32)
         y = jnp.dot(self.A_low, x.astype(self.A_low.dtype),
                     preferred_element_type=acc)
-        return y.astype(x.dtype)
+        return _gemv_fence(y.astype(x.dtype))
 
     def matvec_exact(self, x):
-        return jnp.dot(self.A, x, preferred_element_type=x.dtype,
-                       precision=_PRECISION)
+        return _gemv_fence(jnp.dot(self.A, x, preferred_element_type=x.dtype,
+                                   precision=_PRECISION))
 
     def inf_norm(self):
         return jnp.max(jnp.sum(jnp.abs(self.A), axis=-1))

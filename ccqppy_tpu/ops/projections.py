@@ -119,8 +119,23 @@ class Projection:
     def free_chopped(self, x, g):
         """Default split via the outward normal.
 
-        free    = g on the inactive part (tangential part on smooth boundary)
+        free    = g on the inactive part, tangential part on the active
+                  smooth boundary.
         chopped = max(0, n.g) n  — the KKT-violating outward component.
+
+        The tangential truncation applies for EITHER gradient sign at an
+        active point.  Round 5 tested the proposed alternative (return the
+        full ``g`` as free when ``n.g < 0``, on the theory that the
+        constraint is then "locally inactive") and REFUTED it: ``n.g < 0``
+        means the descent direction ``-g`` points OUTWARD (infeasible), and
+        at a constrained optimum on a smooth boundary ``g = -lambda n``
+        gives exactly ``n.g < 0`` with the constraint KKT-ACTIVE — the
+        tangential free gradient correctly vanishes there, while the full-g
+        rule leaves a pure-normal "free" direction with zero feasible step,
+        and MPRGP-BB limit-cycles in its expansion branch (measured: the
+        mixed cone+box segment problem of
+        tests/test_projections.py::test_segment_in_solver went from
+        converged at tol 1e-8 to DNF at the full 2000-matvec budget).
         """
         n = self.normal(x)
         ng = jnp.vdot(n, g)
@@ -128,7 +143,7 @@ class Projection:
         active = nn > 0
         coef = _safe_div(ng, nn, jnp.zeros_like(ng))
         chopped = jnp.where(active & (ng > 0), coef, 0) * n
-        free = jnp.where(active, g - _safe_div(ng, nn, jnp.zeros_like(ng)) * n, g)
+        free = jnp.where(active, g - coef * n, g)
         return free, chopped
 
     def max_feasible_step(self, x, p):
@@ -407,6 +422,10 @@ class BallProj(Projection):
         return jnp.where(self.is_active(x), unit, 0)
 
     def free_chopped(self, x, g):
+        # Tangential truncation for either gradient sign at the active
+        # sphere — at the constrained optimum g = -lambda n, so the
+        # tangential free gradient correctly vanishes (see the refutation
+        # note in Projection.free_chopped).
         n = self.normal(x)
         ng = jnp.vdot(n, g)
         active = self.is_active(x)

@@ -98,3 +98,26 @@ def test_plot_smoke(tmp_path):
     op = compat.BoxProjOp(3, -np.ones(3), np.ones(3))
     ax = op.plot(50, -2 * np.ones(3), 2 * np.ones(3))
     assert ax is not None
+
+
+def test_dtype_resolved_at_call_time():
+    """Enabling/disabling x64 AFTER importing compat must be honored: the
+    drop-in layer resolves its dtype per call, not at import (round-4
+    advisor: a frozen module constant silently gave f32 solves to users who
+    flipped the flag post-import; the reference's own tests run f64 at tol
+    1e-8, /root/reference/tests/test_module.py:18-73)."""
+    import jax
+
+    A, b, _ = _tridiag()
+    assert jax.config.jax_enable_x64  # conftest default
+    try:
+        jax.config.update("jax_enable_x64", False)
+        s32 = compat.CCQPSolverBBPGD(1e-5, 1000).solve(A, b)
+        assert np.asarray(s32.solution).dtype == np.float32
+        op32 = compat.BoxProjOp(3)
+        assert np.asarray(op32.core.lb).dtype == np.float32
+    finally:
+        jax.config.update("jax_enable_x64", True)
+    s64 = compat.CCQPSolverBBPGD(1e-10, 1000).solve(A, b)
+    assert np.asarray(s64.solution).dtype == np.float64
+    assert s64.solution_residual < 1e-10

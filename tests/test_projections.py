@@ -414,3 +414,46 @@ class TestSnapBinding:
                                 config=PCGConfig(tol=1e-4, max_matvecs=200))
         assert bool(r.converged), (int(r.matvecs), float(r.residual))
         assert float(r.x[0]) == 1.0
+
+
+def test_free_gradient_tangential_vanishes_at_optimum():
+    """The free gradient on a curved active boundary is the TANGENTIAL part
+    of g for either gradient sign.  Round 5 tested the alternative proposed
+    in VERDICT r4 #8 (full g as free when n.g < 0) and refuted it: at a
+    constrained optimum g = -lambda n (n.g < 0, constraint KKT-active), the
+    tangential free gradient correctly vanishes, while the full-g rule
+    leaves a pure-normal "free" direction with zero feasible step and
+    MPRGP-BB limit-cycles (mixed cone+box segment problem: converged ->
+    DNF at the 2000-matvec budget).  See Projection.free_chopped."""
+    import jax.numpy as jnp
+
+    from ccqppy_tpu.ops import projections as P
+
+    # Ball: constrained optimum at x on the sphere, g = -lambda * n = -2x.
+    ballp = P.ball(1.0, dtype=jnp.float64)
+    x = jnp.array([1.0, 0.0, 0.0])
+    g_opt = jnp.array([-2.0, 0.0, 0.0])
+    free, chopped = ballp.free_chopped(x, g_opt)
+    np.testing.assert_allclose(np.asarray(free), 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(chopped), 0.0, atol=1e-12)
+    # Outward gradient: tangential free, outward-normal chopped.
+    g_out = jnp.array([2.0, 0.5, 0.0])
+    free, chopped = ballp.free_chopped(x, g_out)
+    np.testing.assert_allclose(np.asarray(free), [0.0, 0.5, 0.0], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(chopped), [2.0, 0.0, 0.0],
+                               atol=1e-12)
+
+    # Lorentz cone surface: same invariants.
+    cone = P.lorentz_cone(1.0, dtype=jnp.float64)
+    xs = jnp.array([1.0, 0.0, 1.0])          # ||u|| = z = 1: on surface
+    n = np.asarray(cone.normal(xs))
+    g_opt = jnp.asarray(-1.5 * n)            # KKT-active optimum gradient
+    free, chopped = cone.free_chopped(xs, g_opt)
+    np.testing.assert_allclose(np.asarray(free), 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(chopped), 0.0, atol=1e-12)
+    g_out = jnp.array([1.0, 0.0, -1.0])      # n.g = sqrt(2) > 0
+    free, chopped = cone.free_chopped(xs, g_out)
+    ng = float(np.dot(n, np.asarray(g_out)))
+    np.testing.assert_allclose(np.asarray(free),
+                               np.asarray(g_out) - ng * n, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(chopped), ng * n, atol=1e-12)

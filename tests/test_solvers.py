@@ -340,3 +340,89 @@ def test_pcg_verified_convergence_deep_sweeps():
         f"false convergence: true residual {tres[conv].max():.3e} > {tol:g}")
     # every solve spent its init sweep + at least one verification sweep
     assert (mvs - np.asarray(r.iterations) >= 2).all()
+
+
+@pytest.mark.parametrize("fused", [True, False])
+def test_mprgp_verified_convergence_deep_sweeps(fused):
+    """Advisor r4 (medium): MPRGP's CG branch carries its gradient by
+    recurrence, and on mostly-interior ill-conditioned problems the
+    proportioning/expansion branches (which refresh g) may never fire —
+    reproducing the exact f32 drift failure pcg.py closed in round 4.  Both
+    MPRGP forms now verify every CG-carried convergence claim against a
+    fresh gradient (fused: an in-loop ``verifying`` refresh iteration;
+    unfused: a pcg-style nested outer loop).  Bar: converged lanes must
+    hold an INDEPENDENTLY recomputed Eq.25 residual at or below tol."""
+    import dataclasses
+
+    import jax
+
+    from ccqppy_tpu.models import MPRGPBBConfig
+    from ccqppy_tpu.models.base import pg_residual
+    from ccqppy_tpu.ops.linop import DenseOperator
+    from ccqppy_tpu.parallel import solve_batched
+
+    rng = np.random.default_rng(3)
+    B, n, c, tol = 16, 256, 0.02, 2e-5
+    As = np.empty((B, n, n), np.float32)
+    bs = np.empty((B, n), np.float32)
+    for i in range(B):
+        G = rng.standard_normal((n, n))
+        A = G @ G.T + c * n * np.eye(n)
+        As[i] = A
+        bs[i] = -A @ rng.uniform(-1, 1, n)
+    As, bs = jnp.asarray(As), jnp.asarray(bs)
+    proj = P.box(-jnp.ones(n), jnp.ones(n))
+    cfg = MPRGPBBConfig(tol=tol, max_matvecs=4000, fused=fused)
+    r = solve_batched("mprgp_bb", As, bs, proj=proj, config=cfg)
+    audit = jax.jit(jax.vmap(
+        lambda A, b, x: pg_residual(proj, x, DenseOperator(A).matvec(x) + b,
+                                    1e-6, DenseOperator(A))))
+    tres = np.asarray(audit(As, bs, r.x))
+    conv = np.asarray(r.converged)
+    mvs = np.asarray(r.matvecs)
+    assert conv.all()
+    assert int(np.median(mvs)) > 60          # genuinely deep sweep counts
+    assert tres[conv].max() <= tol * 1.02, (
+        f"false convergence: true residual {tres[conv].max():.3e} > {tol:g}")
+
+
+def test_direct_serving_mode():
+    """Round-5 direct-factorization serving mode (models/direct.py): with a
+    precomputed batched Cholesky inverse of a FIXED ensemble, the projected
+    inverse apply solves interior-dominated box QPs at ~2 operator sweeps
+    per solve; straggler lanes (including fully-active boxes whose
+    unconstrained optimum is far outside) are finished by the compacted
+    verified-PCG polish.  All reported residuals must hold against an
+    independent fresh-gradient audit."""
+    import jax
+
+    from ccqppy_tpu.models import (PCGConfig, solve_direct_batched,
+                                   spd_inverse_batch)
+    from ccqppy_tpu.models.base import pg_residual
+    from ccqppy_tpu.ops.linop import DenseOperator
+    from ccqppy_tpu.utils.random_qp import random_qp_batch
+
+    B, n, tol = 12, 48, 1e-8
+    As, bs, _ = random_qp_batch(jax.random.PRNGKey(2), B, n, jnp.float64,
+                                diag_boost=1.0)
+    # Make half the lanes strongly constrained: shrink their box so the
+    # unconstrained optimum is OUTSIDE — the direct guess cannot finish
+    # them, the polish must.
+    proj = P.box(-jnp.full(n, 0.2, jnp.float64), jnp.full(n, 0.2, jnp.float64))
+    Ainv = spd_inverse_batch(As, chunk=4)
+    # inverse accuracy: A @ Ainv ~ I
+    err = jnp.max(jnp.abs(jnp.einsum("bij,bjk->bik", As, Ainv)
+                          - jnp.eye(n, dtype=jnp.float64)))
+    assert float(err) < 1e-10
+    cfg = PCGConfig(tol=tol, max_matvecs=500)
+    r = solve_direct_batched(Ainv, As, bs, proj, config=cfg, phase1=3,
+                             bucket=4)
+    conv = np.asarray(r.converged)
+    assert conv.all()
+    audit = jax.jit(jax.vmap(
+        lambda A, b, x: pg_residual(proj, x, DenseOperator(A).matvec(x) + b,
+                                    1e-6, DenseOperator(A))))
+    tres = np.asarray(audit(As, bs, r.x))
+    assert tres.max() <= tol * 1.02
+    # matvec accounting includes the inverse apply
+    assert (np.asarray(r.matvecs) >= 2).all()
