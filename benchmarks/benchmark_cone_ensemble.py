@@ -7,22 +7,25 @@ matching the disjoint-family structure of the reference's cone study
 (``/root/reference/benchmarks/benchmark_random_ccqp.py:201-211``) at
 headline scale instead of n<=12.
 
-Configuration (round 4, each step measured on chip):
-  * fused single-sweep MPRGP-BB (models/mprgp.py ``MPRGPConfig.fused``):
-    ONE HBM sweep of A per iteration — the classic three-branch body moves
-    up to 4 masked sweeps under vmap (measured 1,143 -> 1,548 solves/s
-    single-dispatch on this exact ensemble);
-  * cone-Jacobi warm start x0 = proj_cone(-b / diag A) (saves ~1 sweep at
-    p50 and shortens the straggler tail);
-  * fused straggler compaction (phase1=43 sweeps ~ p95, bucket=256): the
-    sweep distribution is p50 40 / p95 42 / max ~60, so the batched loop
-    otherwise drags every lane to the slowest lane's count;
+Configuration (round 5, each step measured on chip):
+  * HEADLINE solver: strong-convexity accelerated projected gradient
+    (``models.apgd.solve_sc``) with per-lane spectral bounds estimated
+    ONCE per fixed ensemble by power iteration
+    (``ops.linop.estimate_spectral_bounds`` — one-time prep outside the
+    clock, same status as the Jacobi diagonal).  One matvec per
+    iteration, linear rate 1 - sqrt(mu/L): p50 21 sweeps vs fused
+    MPRGP-BB's 40 on this exact ensemble, with a 21-22 sweep
+    distribution so tight that straggler compaction is unnecessary;
+  * cone-Jacobi warm start x0 = proj_cone(-b / diag A);
+  * round-4 comparison rows retained: fused single-sweep MPRGP-BB
+    (ONE HBM sweep per iteration; p50 40) with compaction
+    (phase1=43 ~ p95, bucket=256), and SPG;
   * pipelined steady-state timing (K=10 batches in flight, one fence) for
     the serving number, single-dispatch alongside — both through the
     roofline-guarded ``timed_run`` (utils/benchmark.py), full-output
     materialization fence.  The bf16->f32 ladder was measured and REJECTED
-    for this workload: 1.8k solves/s (bf16 GEMV lowers at ~425 GB/s
-    effective; the polish restart erases the byte win).
+    for this workload in round 4: 1.8k solves/s (bf16 GEMV lowers at
+    ~425 GB/s effective; the polish restart erases the byte win).
 
 Reference counterpart measured in this container (BASELINE.md method):
 the reference has no working cone projection at all (its ConeProjOp is
@@ -86,9 +89,11 @@ def main():
         # below the f32 ulp of |b| and leave most entries bitwise unchanged.
         return bs + 1e-3 * jax.random.normal(k, bs.shape, bs.dtype)
 
-    # Conservative implied-traffic floor for the roofline guard: p50 ~ 40
-    # sweeps; use 2/3 of that so honest run-to-run variance never trips it.
+    # Conservative implied-traffic floors for the roofline guard: 2/3 of
+    # each configuration's p50 sweeps (mprgp 40, apgd_sc 21) so honest
+    # run-to-run variance never trips them.
     implied = dense_sweep_bytes(BATCH, N, 27)
+    implied_sc = dense_sweep_bytes(BATCH, N, 14)
 
     rows = []
 
@@ -115,18 +120,40 @@ def main():
               f"~{row['implied_gbps']} GB/s implied)", flush=True)
         return row
 
-    # --- headline config: fused MPRGP-BB + cone-Jacobi x0 + compaction ----
-    cfg = MPRGPBBConfig(tol=TOL, max_matvecs=BUDGET, fused=True)
+    # --- headline config: apgd_sc + spectral-bound prep + cone-Jacobi x0 --
+    from ccqppy_tpu.models import APGDSCConfig
+    from ccqppy_tpu.ops.linop import SpectralDense, estimate_spectral_bounds
+
+    t0 = time.perf_counter()
+    Lb, mub = estimate_spectral_bounds(As, iters=32)
+    Lb.block_until_ready(); mub.block_until_ready()
+    prep_s = time.perf_counter() - t0
+    print(f"spectral-bound prep (outside clock): {prep_s:.1f}s", flush=True)
+    sop = SpectralDense(As, Lb, mub)
+    sc_cfg = APGDSCConfig(tol=TOL, max_matvecs=BUDGET)
 
     def run_headline(b_):
+        return solve_batched("apgd_sc", sop, b_, x0=jac_x0(b_), proj=proj,
+                             config=sc_cfg)
+
+    out = timed_run(run_headline, reps=3, implied_bytes=implied_sc,
+                    make_args=lambda rep: (perturbed(1, rep),))
+    b_last = perturbed(1, 2)
+    audit_row("apgd_sc + spectral prep", out.wall_s, out.result, b_last,
+              {"prep_seconds_outside_clock": round(prep_s, 1)})
+
+    # --- round-4 configuration as comparison: fused MPRGP-BB + compaction -
+    cfg = MPRGPBBConfig(tol=TOL, max_matvecs=BUDGET, fused=True)
+
+    def run_mprgp(b_):
         return solve_batched_fused_compact(
             "mprgp_bb", As, b_, PHASE1, x0=jac_x0(b_), proj=proj,
             config=cfg, bucket=BUCKET, host_fallback=False)
 
-    out = timed_run(run_headline, reps=3, implied_bytes=implied,
+    out = timed_run(run_mprgp, reps=2, implied_bytes=implied,
                     make_args=lambda rep: (perturbed(1, rep),))
-    b_last = perturbed(1, 2)
-    audit_row("mprgp_bb fused+compact+x0", out.wall_s, out.result, b_last)
+    audit_row("mprgp_bb fused+compact+x0", out.wall_s, out.result,
+              perturbed(1, 1))
 
     # Pipelined steady-state: PIPELINE batches in flight, one materialize
     # fence on the last output (device execution is in-order).
@@ -140,7 +167,7 @@ def main():
         outs = [run_headline(b_) for b_ in bs_l]
         materialize(outs[-1])
         wall = (time.perf_counter() - t0) / PIPELINE
-        floor = implied / (2 * 819e9)
+        floor = implied_sc / (2 * 819e9)
         assert wall > floor, f"pipelined wall {wall} under roofline floor"
         walls.append(wall)
         # Audit EVERY batch of EVERY trial outside the clock (advisor r4:
@@ -152,7 +179,7 @@ def main():
             assert float(np.asarray(res_audit(As, b_, r_.x)).max()) \
                 <= TOL * 1.05
         last, b_pipe_last = outs[-1], bs_l[-1]
-    headline = audit_row("mprgp_bb pipelined (headline)", min(walls), last,
+    headline = audit_row("apgd_sc pipelined (headline)", min(walls), last,
                          b_pipe_last, {"pipeline_depth": PIPELINE})
     assert headline["converged"] == 1.0
 

@@ -5,7 +5,7 @@ returning a ``SolveResult`` pytree.  ``SOLVERS`` maps short names to
 (solve_fn, config_cls) for benchmark harnesses and the compat layer.
 """
 from ccqppy_tpu.models import apgd, bbpgd, direct, mprgp, pcg, pgd, spg
-from ccqppy_tpu.models.apgd import APGDConfig
+from ccqppy_tpu.models.apgd import APGDConfig, APGDSCConfig
 from ccqppy_tpu.models.base import SolveResult, SolverConfig, pg_residual
 from ccqppy_tpu.models.bbpgd import BBPGDConfig, BBPGDfConfig
 from ccqppy_tpu.models.direct import (direct_x0, solve_direct_batched,
@@ -19,6 +19,7 @@ SOLVERS = {
     "pgd": (pgd.solve, PGDConfig),
     "apgd": (apgd.solve, APGDConfig),
     "apgd_ar": (apgd.solve_anti_relaxation, APGDConfig),
+    "apgd_sc": (apgd.solve_sc, APGDSCConfig),
     "bbpgd": (bbpgd.solve, BBPGDConfig),
     "bbpgd_f": (bbpgd.solve_fallback, BBPGDfConfig),
     "spg": (spg.solve, SPGConfig),
