@@ -81,6 +81,16 @@ def main():
     big = scaling_probe(batch_per_device=big_bpd, n=args.n,
                         solver=args.solver, tol=args.tol)
     show(f"to-tolerance, {big_bpd}/device", big)
+    # 4. MATCHED control for (3) — tol=0 fixed-iteration lanes at the SAME
+    #    per-device batch as the big sweep (advisor r3 / VERDICT r4 weak
+    #    #4: without it the "entire big-batch loss is oversubscription"
+    #    claim rested on a 64-lane control).  Skew-free by construction;
+    #    any efficiency decay here is pure host oversubscription at the
+    #    big-batch arithmetic intensity.
+    big_control = scaling_probe(batch_per_device=big_bpd, n=args.n,
+                                solver=args.solver, tol=0.0,
+                                max_matvecs=64)
+    show(f"skew-free control, {big_bpd}/device", big_control)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
     os.makedirs(out, exist_ok=True)
@@ -90,7 +100,8 @@ def main():
             "n": args.n, "solver": args.solver, "tol": args.tol,
             "control_fixed_iters": control,
             "rows": small,
-            "big_batch_rows": big}
+            "big_batch_rows": big,
+            "big_batch_control_fixed_iters": big_control}
     with open(os.path.join(out, "scaling.json"), "w") as f:
         json.dump(meta, f, indent=1)
     print("wrote benchmarks/results/scaling.json")

@@ -321,7 +321,16 @@ class MixedPrecDense(LinearOperator):
             acc = jnp.promote_types(x.dtype, jnp.float32)
         y = jnp.dot(self.A_low, x.astype(self.A_low.dtype),
                     preferred_element_type=acc)
-        return _gemv_fence(y.astype(x.dtype))
+        # NO _gemv_fence here — measured round 5: the cheap sweep MUST stay
+        # fusion-eligible with its cast-to-carry consumer.  With a barrier
+        # between the f32 dot and the f64 cast, XLA lowers the dot with
+        # bf16-grade products and the f64-exact rung's per-cycle refinement
+        # contraction collapses (raw-Wishart n=1000, tol 1e-5: conv 1.0 /
+        # p50 1346 matvecs without the barrier vs conv 0.75 / p50 6129
+        # with it); fused with the cast, the lowering keeps full-precision
+        # products.  The barrier's wall win belongs to same-dtype GEMVs
+        # (DenseOperator/FastDense), not this mixed-dtype sweep.
+        return y.astype(x.dtype)
 
     def matvec_exact(self, x):
         return _gemv_fence(jnp.dot(self.A, x, preferred_element_type=x.dtype,

@@ -149,6 +149,8 @@ def scaling_probe(n_devices_list=None, batch_per_device=64, n=256,
     cfg = SOLVERS[solver][1](tol=tol, max_matvecs=max_matvecs)
     proj = cq.box(-jnp.ones(n, dtype), jnp.ones(n, dtype), dtype)
 
+    from ccqppy_tpu.utils.benchmark import timed_run
+
     rows = []
     base = None
     for k in n_devices_list:
@@ -158,13 +160,20 @@ def scaling_probe(n_devices_list=None, batch_per_device=64, n=256,
                                     diag_boost=1.0)
 
         def run():
-            r = solve_batched_sharded(solver, As, bs, mesh, axis="batch",
-                                      proj=proj, config=cfg)
-            jax.block_until_ready(r.x)
-            return r
+            return solve_batched_sharded(solver, As, bs, mesh, axis="batch",
+                                         proj=proj, config=cfg)
 
-        r = run()                                   # compile + warm
-        t = min(_timed(run) for _ in range(reps))
+        # Warm run establishes the per-lane matvec counts, which set a
+        # conservative roofline floor for the guarded measurement (half the
+        # known operator traffic): the round-3 lesson — hand-rolled
+        # ``min(_timed(...))`` over a ``block_until_ready`` fence is exactly
+        # the pattern that produced a 320x-inflated wall (VERDICT r3).
+        r = run()
+        mv_total = int(np.asarray(r.matvecs).sum())
+        implied = 0.5 * mv_total * n * n * np.dtype(np.float32).itemsize
+        out = timed_run(run, reps=reps, implied_bytes=implied)
+        t = out.wall_s
+        r = out.result
         it_arr = np.asarray(r.iterations)
         iters = int(it_arr.sum())
         gmax = int(it_arr.max())
@@ -186,9 +195,3 @@ def scaling_probe(n_devices_list=None, batch_per_device=64, n=256,
         row["efficiency_vs_first"] = row["iterations_per_s"] / (k * base)
         rows.append(row)
     return rows
-
-
-def _timed(fn):
-    t0 = time.perf_counter()
-    fn()
-    return time.perf_counter() - t0

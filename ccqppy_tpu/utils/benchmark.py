@@ -269,27 +269,30 @@ class BenchmarkRandomCCQP:
                     cfg = cfg_cls(tol=self.tol, max_matvecs=self.max_matvecs)
                     keys = (jax.random.split(jax.random.PRNGKey(self.seed + 1), T)
                             if sname == "spg" else None)
-                    # warm-up to exclude compile time, then timed run.
-                    # Fence = full-output materialization (block_until_ready
-                    # can return early on the remote backend — the round-3
-                    # lesson the timed_run harness encodes).
+                    # Guarded measurement through timed_run (round 5 —
+                    # closing the last path outside the harness): warm run
+                    # establishes matvec counts, which set a conservative
+                    # roofline floor (half the known dense operator
+                    # traffic); min of 2 reps, full-output materialization
+                    # fence.
                     r = solve_batched(fn, As, bs, proj=proj, config=cfg,
                                       keys=keys)
-                    materialize(r)
-                    t0 = time.perf_counter()
-                    r = solve_batched(fn, As, bs, proj=proj, config=cfg,
-                                      keys=keys)
-                    materialize(r)
-                    elapsed = time.perf_counter() - t0
+                    mv_total = int(np.asarray(r.matvecs).sum())
+                    implied = 0.5 * mv_total * n * n * 4
+                    out = timed_run(
+                        lambda: solve_batched(fn, As, bs, proj=proj,
+                                              config=cfg, keys=keys),
+                        reps=2, implied_bytes=implied, warmup=False)
+                    r = out.result
                     residual[i, j, k] = np.asarray(r.residual)
                     converged[i, j, k] = np.asarray(r.converged)
                     matvecs[i, j, k] = np.asarray(r.matvecs)
-                    solve_time[i, j, k] = elapsed / T
+                    solve_time[i, j, k] = out.wall_s / T
                     if verbose:
                         print(f"[bench] {sname:10s} {fam:12s} n={n:<6d} "
                               f"conv={converged[i, j, k].mean():5.1%} "
                               f"mv={matvecs[i, j, k].mean():8.1f} "
-                              f"{T / elapsed:10.1f} solves/s", flush=True)
+                              f"{T / out.wall_s:10.1f} solves/s", flush=True)
 
         self.result = BenchmarkResult(self.solver_names,
                                       list(self.proj_factories), self.sizes,

@@ -390,3 +390,40 @@ def test_f64_exact_rung_raw_wishart():
     assert tres.max() <= tol * 1.02, f"true residual {tres.max():.3e}"
     # beyond the f32 iterate floor: at least one lane certified below 1e-5
     assert tres.min() < 1e-5
+
+
+def test_f64_rung_deep_tolerance():
+    """VERDICT r4 #5: the f64-exact rung must reach DEEP tolerances
+    (<= 1e-9 — the reference's desired_tol story, README.md:55-59) on a
+    hard family: each refinement cycle contracts the true residual by
+    ~ eps_f32 * cond, so tolerance depth only costs cycles until the
+    f64-refresh floor.  Also guards the round-5 regression: a GEMV
+    optimization barrier placed between the cheap f32 sweep and its
+    f64-cast consumer broke the fusion that keeps the sweep's products
+    full-precision (raw-Wishart n=1000 conv 1.0 -> 0.75; see
+    MixedPrecDense.matvec)."""
+    import jax
+
+    import ccqppy_tpu as cq
+    from ccqppy_tpu.models import PCGConfig
+    from ccqppy_tpu.models.base import pg_residual
+    from ccqppy_tpu.ops.linop import DenseOperator, MixedPrecDense
+    from ccqppy_tpu.utils.random_qp import random_qp_batch
+
+    B, n = 4, 128
+    # Raw Wishart, seed chosen for cond in [6e4, 2.4e5] — inside the rung's
+    # documented per-cycle contraction regime eps_f32 * cond < 1 (a
+    # cond ~1.6e7 draw floors around 3e-8, the documented ~1e7 limit).
+    As, bs, _ = random_qp_batch(jax.random.PRNGKey(6), B, n, jnp.float64,
+                                diag_boost=0.0)
+    As32 = As.astype(jnp.float32)
+    proj = cq.box(-jnp.ones(n, jnp.float64), jnp.ones(n, jnp.float64))
+    cfg = PCGConfig(tol=1e-9, max_matvecs=30000, refresh_every=128,
+                    segment_drop=0.25)
+    r = jax.vmap(lambda a64, a32, b: cq.models.pcg.solve(
+        MixedPrecDense(a64, a32), b, proj=proj, config=cfg))(As, As32, bs)
+    assert bool(jnp.all(r.converged))
+    aud = jax.vmap(lambda A, b, x: pg_residual(
+        proj, x, DenseOperator(A).matvec(x) + b, 1e-6, DenseOperator(A)))(
+        As, bs, r.x)
+    assert float(jnp.max(aud)) <= 1e-9 * 1.02
