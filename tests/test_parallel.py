@@ -328,3 +328,33 @@ def test_dryrun_multichip_16_devices():
     assert "{'batch': 2, 'model': 8}" in out, out
     # all three legs converged: dp reports count/B, tp legs report bools
     assert "converged=4/4" in out and out.count("converged=True") == 2, out
+
+
+@pytest.mark.parametrize("n_devices,want_shape", [
+    (12, {"batch": 3, "model": 4}),    # asymmetric, non-power-of-two
+    (32, {"batch": 4, "model": 8}),    # beyond the driver's 8/16 coverage
+])
+def test_dryrun_multichip_asymmetric_and_32(n_devices, want_shape):
+    """Mesh-factorization hardening (VERDICT r4 stretch): the dry run's
+    factor logic must build non-degenerate (batch, model) meshes for
+    non-power-of-two and larger device counts, and all three legs must
+    converge.  Subprocess for the same backend-pinning reason as the
+    16-device test."""
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         f"import __graft_entry__ as g; g.dryrun_multichip({n_devices})"],
+        cwd=repo, capture_output=True, text=True, timeout=900,
+        env={**__import__("os").environ,
+             "XLA_FLAGS":
+             f"--xla_force_host_platform_device_count={n_devices}"})
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout
+    assert "dryrun_multichip OK" in out, out
+    assert str(want_shape) in out, out
+    B = 2 * want_shape["batch"]
+    assert f"converged={B}/{B}" in out and out.count("converged=True") == 2, out
