@@ -32,7 +32,6 @@ coordinator transport change.
 from __future__ import annotations
 
 import os
-import time
 
 import numpy as np
 
